@@ -1,0 +1,216 @@
+"""The flagship extraction/correction pipeline.
+
+Dataflow (north-star shape, BASELINE.json):
+
+    read spans table
+      → annotate each span with its line number *inside the array*
+        (higher-order ``aggregate`` prefix-scan — no window, no shuffle)
+      → posexplode to span grain
+      → groupBy (doc_id, line_no) assembling per-line span arrays
+        (this hash redistribution at *line* grain is what defeats
+        long-document skew: a 10^6-span document becomes 10^5
+        independent line rows instead of one giant task — the reference
+        instead sent a whole page as one model batch,
+        /root/reference/ocrd_cor_asv_ann/wrapper/transcode.py:110-115,
+        which is exactly the skew failure mode)
+      → optional salt bucket (pmod(xxhash64(doc_id), B)) used by the
+        checkpoint/lineage layer for resumable per-bucket runs
+      → mapInPandas correction UDF (Arrow batches ≈ the reference's
+        256-line batches, lib/seq2seq.py:111): charmap rules or numpy
+        seq2seq greedy/beam decode, then alignment-path segmentation +
+        whitespace redistribution (corelib)
+      → explode corrected spans, union with bypassed media spans
+      → groupBy(doc_id) ordered collect_list reassembly → spans table
+
+Shuffle budget: exactly two wide exchanges (line assembly, doc
+reassembly); the correction stage itself is narrow. At 10^12 docs both
+exchanges hash on high-cardinality keys and AQE coalesces the tail.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..corelib.noise import correct_charmap
+from ..corelib.whitespace import segment_output
+from ..corelib.align import levenshtein as fast_distance
+from ..schema import CORRECTED_LINE_SCHEMA, WS_KINDS
+
+TEXT_KINDS = ("line", "word", "glyph", "space", "newline")
+
+
+def spans_with_line_no(df: DataFrame) -> DataFrame:
+    """(doc_id, spans) → (doc_id, kind, text, media_ref, offset, line_no)
+    at span grain, line_no computed by an array prefix-scan (narrow)."""
+    line_nos = F.expr(
+        """
+        aggregate(
+          spans,
+          struct(0 as n, cast(array() as array<int>) as ls),
+          (acc, s) -> struct(
+            acc.n + IF(s.kind = 'newline', 1, 0),
+            array_append(acc.ls, acc.n)),
+          acc -> acc.ls)
+        """
+    ).alias("line_nos")
+    z = df.select("doc_id", F.arrays_zip(F.col("spans"), line_nos).alias("z"))
+    e = z.select("doc_id", F.explode("z").alias("s")).select(
+        "doc_id",
+        F.col("s.spans.kind").alias("kind"),
+        F.col("s.spans.text").alias("text"),
+        F.col("s.spans.media_ref").alias("media_ref"),
+        F.col("s.spans.offset").alias("offset"),
+        F.col("s.line_nos").alias("line_no"),
+    )
+    return e
+
+
+def assemble_lines(flat: DataFrame) -> DataFrame:
+    """Span grain → line grain: ordered parallel arrays per (doc, line).
+    Media spans don't carry line text — they bypass correction."""
+    text_spans = flat.filter(F.col("kind").isin(*TEXT_KINDS))
+    lines = (
+        text_spans.groupBy("doc_id", "line_no")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("sp")
+        )
+        .select(
+            "doc_id",
+            "line_no",
+            F.expr("transform(sp, x -> x.kind)").alias("kinds"),
+            F.expr("transform(sp, x -> x.text)").alias("texts"),
+            F.expr("transform(sp, x -> x.media_ref)").alias("media_refs"),
+            F.expr("transform(sp, x -> x.offset)").alias("offsets"),
+        )
+    )
+    return lines
+
+
+def salt_bucket(col: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+CorrectorFn = Callable[[pd.Series], tuple[pd.Series, list[list[float]] | None]]
+
+
+def charmap_corrector(texts: pd.Series) -> tuple[pd.Series, None]:
+    """Vectorized rule corrector: invert the historic-glyph channel + NFC."""
+    return texts.map(correct_charmap), None
+
+
+def make_correct_lines_udf(corrector: CorrectorFn):
+    def correct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            in_lines = pdf["texts"].map(lambda ts: "".join(ts))
+            out_lines, out_probs = corrector(in_lines)
+            rows_out, rows_conf, rows_cer = [], [], []
+            for idx in range(len(pdf)):
+                texts = list(pdf["texts"].iloc[idx])
+                kinds = list(pdf["kinds"].iloc[idx])
+                is_ws = [k in WS_KINDS for k in kinds]
+                out_line = out_lines.iloc[idx]
+                probs = out_probs[idx] if out_probs is not None else None
+                new_texts, new_confs = segment_output(texts, is_ws, out_line, probs)
+                rows_out.append(new_texts)
+                rows_conf.append(new_confs)
+                in_line = in_lines.iloc[idx]
+                d, n = fast_distance(in_line, out_line)
+                rows_cer.append(d / n if n else 0.0)
+            pdf = pdf.assign(out_texts=rows_out, out_confs=rows_conf, line_cer=rows_cer)
+            yield pdf[[f.name for f in CORRECTED_LINE_SCHEMA.fields]]
+
+    return correct
+
+
+def correct_lines(lines: DataFrame, corrector: CorrectorFn | None = None) -> DataFrame:
+    corrector = corrector or charmap_corrector
+    return lines.mapInPandas(make_correct_lines_udf(corrector), schema=CORRECTED_LINE_SCHEMA)
+
+
+def reassemble(corrected: DataFrame, media: DataFrame) -> DataFrame:
+    """Corrected line rows + bypassed media spans → spans table, ordered
+    collect_list keyed by doc_id (the north-rule reassembly)."""
+    text_spans = corrected.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("offsets").alias("offset"),
+                F.col("kinds").alias("kind"),
+                F.col("out_texts").alias("text"),
+                F.col("media_refs").alias("media_ref"),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    media_spans = media.select("doc_id", "offset", "kind", "text", "media_ref")
+    all_spans = text_spans.unionByName(media_spans)
+    return (
+        all_spans.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
+            ).alias("sp")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sp, x -> struct(x.kind as kind, x.text as text,"
+                " x.media_ref as media_ref, x.offset as offset))"
+            ).alias("spans"),
+        )
+    )
+
+
+def correct_pipeline(
+    spans_df: DataFrame,
+    corrector: CorrectorFn | None = None,
+    n_buckets: int | None = None,
+    bucket_filter: list[int] | None = None,
+) -> DataFrame:
+    """End-to-end: spans table in → corrected spans table out.
+
+    ``n_buckets``/``bucket_filter`` expose the checkpoint grain: when set,
+    only documents whose salt bucket is in the filter are processed
+    (checkpoint.resume drives this)."""
+    flat = spans_with_line_no(spans_df)
+    if n_buckets:
+        flat = flat.withColumn("bucket", salt_bucket(F.col("doc_id"), n_buckets))
+        if bucket_filter is not None:
+            flat = flat.filter(F.col("bucket").isin(bucket_filter))
+        flat = flat.drop("bucket")
+    media = flat.filter(~F.col("kind").isin(*TEXT_KINDS))
+    lines = assemble_lines(flat)
+    corrected = correct_lines(lines, corrector)
+    return reassemble(corrected, media)
+
+
+def pipeline_metrics(corrected: DataFrame) -> DataFrame:
+    """Per-run aggregate CER/throughput inputs from the corrected line
+    rows (sum-decomposed so Spark's partial aggregation is the Chan
+    merge — SURVEY.md §2.4 A1)."""
+    return corrected.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")).alias("n_chars"),
+        F.avg("line_cer").alias("mean_line_cer"),
+    )
+
+
+def run_with_wall_clock(df: DataFrame) -> tuple[int, float]:
+    t0 = time.time()
+    n = df.count()
+    return n, time.time() - t0

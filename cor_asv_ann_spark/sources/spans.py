@@ -1,0 +1,115 @@
+"""Interleaved span-table synthesis and I/O.
+
+The engine's primary input is the BASELINE.json `input_hint` table::
+
+    doc_id: string,
+    spans:  array<struct<kind:string, text:string, media_ref:string, offset:int>>
+
+We synthesize it deterministically from the driver's read-only
+``documents`` parquet (TESTDATA.md) — one spans row per document, lines of
+N words interleaved with artificial ``space``/``newline`` spans (the
+reference injects the same index=-1 whitespace TextEquivs,
+/root/reference/ocrd_cor_asv_ann/wrapper/transcode.py:225-232) and
+occasional ``media`` spans anchoring images between lines. A noisy
+variant degrades word spans with the reversible historic-glyph channel
+(corelib.noise), preserving doc_id/media_ref/offset — the skeleton the
+span-sequence-equality check rides on.
+
+Determinism is per-document (keyed on doc_id content hashes), so output
+is identical under any partitioning or parallelism level.
+
+At production scale this table is an Iceberg table; locally we read/write
+parquet with the identical layout (Iceberg jars are not in the image —
+see ``iceberg_or_parquet``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corelib.noise import degrade_reversible, _key_int
+from ..schema import SPANS_SCHEMA
+
+WORDS_PER_LINE = 7
+MEDIA_EVERY = 4  # a media span after every 4th line
+
+
+def build_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]]:
+    """Pure: document text → ordered interleaved span list
+    (kind, text, media_ref, offset)."""
+    words = text.split()
+    spans: list[tuple[str, str, str | None, int]] = []
+    off = 0
+
+    def emit(kind: str, txt: str, ref: str | None = None):
+        nonlocal off
+        spans.append((kind, txt, ref, off))
+        off += 1
+
+    line_no = 0
+    for i in range(0, len(words), WORDS_PER_LINE):
+        line_words = words[i : i + WORDS_PER_LINE]
+        for wi, w in enumerate(line_words):
+            # sprinkle non-ASCII GT so NFC/grapheme paths are exercised
+            if _key_int(f"{doc_id}:w{i + wi}") % 7 == 0:
+                w = w.replace("a", "ä")
+            emit("word", w, f"xy://{doc_id}/{off}")
+            if wi + 1 < len(line_words):
+                emit("space", " ")
+        emit("newline", "\n")
+        line_no += 1
+        if line_no % MEDIA_EVERY == 0:
+            emit("media", "", f"img://{doc_id}/{line_no}")
+    return spans
+
+
+def synth_spans(spark: SparkSession, sf_dir: str, noisy: bool = False) -> DataFrame:
+    """documents.parquet → spans table (GT or reversibly-degraded)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
+                spans = build_spans(doc_id, text)
+                if noisy:
+                    spans = [
+                        (
+                            k,
+                            degrade_reversible(t, f"{doc_id}:{o}") if k == "word" else t,
+                            r,
+                            o,
+                        )
+                        for (k, t, r, o) in spans
+                    ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": r, "offset": o}
+                            for (k, t, r, o) in spans
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
+
+
+def iceberg_or_parquet_write(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> str:
+    """Write to Iceberg when the catalog is on the classpath, else parquet
+    with the identical layout. Returns the format used."""
+    try:
+        df.writeTo(path_or_table).createOrReplace()
+        return "iceberg"
+    except Exception:
+        df.write.mode(mode).parquet(path_or_table)
+        return "parquet"
+
+
+def read_spans(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(SPANS_SCHEMA).parquet(path)
