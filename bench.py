@@ -1,0 +1,129 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec",
+"queries": {name: sec}, "sf", plus informational extras
+(docs_per_sec for the flagship, scaling efficiency when --scaling)}.
+
+--scaling: re-runs the flagship in two subprocesses at local[N/4] and
+local[N] on identical input and reports throughput at both + the
+efficiency (T_N4_throughput / T_N_throughput) — the sandbox evidence
+for the north rule's two-cluster-size criterion (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def flagship_docs_per_sec(spark, sf_dir: str) -> tuple[float, int]:
+    """Correction pipeline end-to-end (synth noisy spans → corrected
+    table), returns (wall_sec, n_docs)."""
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    noisy = synth_spans(spark, sf_dir, noisy=True)
+    out = correct_pipeline(noisy)
+    t0 = time.time()
+    n_docs = out.select(F.count(F.lit(1)).alias("n")).collect()[0].n
+    return time.time() - t0, n_docs
+
+
+def main() -> None:
+    if "--scaling-worker" in sys.argv:
+        # subprocess entry: run the flagship once at the given cpu count
+        cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
+        from cor_asv_ann_spark.session import build_session
+
+        spark = build_session(app=f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+        # warmup pass to exclude JVM/py4j startup from the measurement
+        flagship_docs_per_sec(spark, SF_DIR)
+        wall, n_docs = flagship_docs_per_sec(spark, SF_DIR)
+        print(json.dumps({"cpus": cpus, "wall_sec": wall, "n_docs": n_docs}))
+        spark.stop()
+        return
+
+    from cor_asv_ann_spark.session import build_session
+
+    spark = build_session(app="bench", cpus=CPUS, shuffle_partitions=CPUS)
+    import __spark_entry__ as entrymod
+
+    qdefs = entrymod.queries()
+    bench_queries = [
+        "cer_by_lang",
+        "cer_rollup",
+        "char_histogram",
+        "confusion_bigrams",
+        "dedup_exact",
+        "minhash_lsh_pairs",
+        "knn_cosine",
+        "token_count",
+        "quality_scores",
+        "lang_id",
+        "sessionize",
+        "reading_order_concat",
+        "adjusted_cer",
+        "dedup_simhash",
+    ]
+    times: dict[str, float] = {}
+
+    # flagship first (headline metric)
+    wall, n_docs = flagship_docs_per_sec(spark, SF_DIR)
+    times["correction_pipeline"] = round(wall, 3)
+    docs_per_sec = n_docs / wall if wall > 0 else None
+
+    for name in bench_queries:
+        fn = qdefs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "headline query wall time (correction pipeline + operator suite)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs_per_sec_correction": round(docs_per_sec, 1) if docs_per_sec else None,
+        "n_docs": n_docs,
+        "cpus": CPUS,
+    }
+    spark.stop()
+
+    if "--scaling" in sys.argv:
+        scale = {}
+        for cpus in (max(CPUS // 4, 1), CPUS):
+            p = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(cpus)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            scale[cpus] = json.loads(line)
+        lo, hi = sorted(scale)
+        thr_lo = scale[lo]["n_docs"] / scale[lo]["wall_sec"]
+        thr_hi = scale[hi]["n_docs"] / scale[hi]["wall_sec"]
+        result["scaling"] = {
+            f"local[{lo}]_docs_per_sec": round(thr_lo, 1),
+            f"local[{hi}]_docs_per_sec": round(thr_hi, 1),
+            "cores_ratio": hi / lo,
+            "efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Per-bucket lineage checkpointing for resumable runs (north rule:
+"every stage checkpoints per-partition lineage and CER/throughput
+metrics ... so a killed job resumes without recomputing completed
+partitions").
+
+Design: documents hash into B salt buckets (pmod(xxhash64(doc_id), B)).
+The driver loop processes one bucket at a time: run the pipeline
+filtered to the bucket, append the output partition, then append one
+lineage row. On restart, completed buckets are read back and skipped
+(an anti-join at driver level — no recomputation). Each bucket commit
+is atomic-enough locally via a per-bucket parquet subdirectory; on a
+real cluster the same loop commits Iceberg snapshots (writeTo().append()
+per bucket) and the lineage table is an Iceberg table keyed
+(run_id, bucket).
+
+At 10^12 docs the bucket count B is chosen so one bucket ≈ a few
+executor-hours; the pipeline inside a bucket still parallelizes across
+all executors (buckets are a *resume* grain, not a parallelism grain).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import LINEAGE_SCHEMA
+
+
+def completed_buckets(spark: SparkSession, lineage_dir: str, run_id: str) -> set[int]:
+    if not os.path.isdir(lineage_dir) or not os.listdir(lineage_dir):
+        return set()
+    df = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_dir)
+    return {r.bucket for r in df.filter(F.col("run_id") == run_id).select("bucket").collect()}
+
+
+def append_lineage_row(spark: SparkSession, lineage_dir: str, row: dict) -> None:
+    df = spark.createDataFrame([row], schema=LINEAGE_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(lineage_dir)
+
+
+def run_resumable(
+    spark: SparkSession,
+    spans_df: DataFrame,
+    out_dir: str,
+    lineage_dir: str,
+    run_id: str,
+    n_buckets: int = 8,
+    corrector=None,
+) -> dict:
+    """Correct ``spans_df`` bucket-by-bucket with resume. Returns summary
+    metrics. Output lands under ``out_dir/bucket=<b>/``."""
+    from .operators.correction import (
+        assemble_lines,
+        correct_lines,
+        correct_pipeline,
+        salt_bucket,
+        spans_with_line_no,
+    )
+
+    done = completed_buckets(spark, lineage_dir, run_id)
+    summary = {"run_id": run_id, "buckets_total": n_buckets, "buckets_skipped": len(done)}
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        bucketed = spans_df.filter(salt_bucket(F.col("doc_id"), n_buckets) == b)
+        out = correct_pipeline(bucketed, corrector=corrector)
+        out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+        # bucket metrics from the corrected line stats (second tiny pass on
+        # the bucket only; at scale this is fused via the metrics sink)
+        lines = correct_lines(assemble_lines(spans_with_line_no(bucketed)), corrector)
+        m = lines.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")).alias("n_chars"),
+            F.sum(F.col("line_cer") * F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")).alias(
+                "sum_dist_w"
+            ),
+            F.avg("line_cer").alias("mean_cer"),
+        ).collect()[0]
+        wall = time.time() - t0
+        append_lineage_row(
+            spark,
+            lineage_dir,
+            {
+                "run_id": run_id,
+                "bucket": b,
+                "n_docs": int(m.n_docs or 0),
+                "n_lines": int(m.n_lines or 0),
+                "n_chars": int(m.n_chars or 0),
+                "sum_dist": float(m.sum_dist_w or 0.0),
+                "cer": float(m.mean_cer) if m.mean_cer is not None else None,
+                "wall_sec": wall,
+                "docs_per_sec": (int(m.n_docs or 0) / wall) if wall > 0 else None,
+                "finished_at": datetime.datetime.now(datetime.timezone.utc),
+            },
+        )
+    return summary

@@ -166,6 +166,13 @@ def segment_output(
                 while out.split():
                     texts[k - 1] += out[0]
                     out = out[1:]
+            elif out.split() and k + 1 < n:
+                # line-initial whitespace span with no left neighbour
+                # (model correctors can produce this): push right instead
+                # so the invariant below still holds
+                tail = out.lstrip(" ")
+                texts[k + 1] = tail + texts[k + 1]
+                out = out[: len(out) - len(tail)]
         else:
             # LHS: leading spaces belong to a preceding whitespace span
             if out.startswith(" ") and k > 0 and is_ws[k - 1]:

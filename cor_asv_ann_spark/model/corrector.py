@@ -1,0 +1,68 @@
+"""Bridge the numpy seq2seq into the Spark correction pipeline.
+
+The weight dict is broadcast once (sc.broadcast — the Spark analogue of
+the reference loading its h5 model once per process, seq2seq.py:1121-;
+the reference capped correction at max_workers=1 because the TF model
+couldn't be shared, wrapper/transcode.py:46 — broadcasting removes that
+ceiling entirely). Each Python worker rebuilds the model lazily from
+the broadcast on first use and caches it for all subsequent Arrow
+batches.
+
+The corrector returns per-line soft-alignment-derived Viterbi paths so
+span segmentation uses the model's attention (J5) instead of the NW
+fallback.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .seq2seq_np import Seq2SeqModel, viterbi_path
+
+_MODEL_CACHE: dict[int, Seq2SeqModel] = {}
+
+
+def _model_from_state(state: dict) -> Seq2SeqModel:
+    m = Seq2SeqModel(
+        state["vocab"], width=state["width"], depth=state["depth"], window=state["window"]
+    )
+    z = state["weights"]
+    m.embed = z["embed"]
+    m.att_We, m.att_Wd, m.att_v = z["att_We"], z["att_Wd"], z["att_v"]
+    m.out_W, m.out_b = z["out_W"], z["out_b"]
+    for name, layer in [("enc_fwd", m.enc_fwd), ("enc_bwd", m.enc_bwd)] + [
+        (f"enc{i}", l) for i, l in enumerate(m.enc_stack)
+    ] + [(f"dec{i}", l) for i, l in enumerate(m.dec_stack)]:
+        layer.W, layer.U, layer.b = z[f"{name}_W"], z[f"{name}_U"], z[f"{name}_b"]
+    return m
+
+
+def model_state(model: Seq2SeqModel) -> dict:
+    return {
+        "vocab": model.vocab,
+        "width": model.width,
+        "depth": model.depth,
+        "window": model.window,
+        "weights": model.weights_dict(),
+    }
+
+
+def make_model_corrector(spark, model: Seq2SeqModel):
+    """CorrectorFn over a broadcast model: texts → (out_lines, probs,
+    viterbi paths)."""
+    bc = spark.sparkContext.broadcast(model_state(model))
+
+    def corrector(texts: pd.Series):
+        key = id(bc)
+        m = _MODEL_CACHE.get(key)
+        if m is None:
+            m = _model_from_state(bc.value)
+            _MODEL_CACHE[key] = m
+        outs, probs, aligns = m.decode_greedy_batch(list(texts))
+        paths = []
+        for t, out, al in zip(texts, outs, aligns):
+            # attention matrix is (out_len, in_len) → input-offset map
+            paths.append(viterbi_path(al[:, : len(t)] if al.size else al))
+        return pd.Series(outs, index=texts.index), probs, paths
+
+    return corrector

@@ -1,0 +1,369 @@
+"""Forward-only numpy seq2seq: character encoder–attention–decoder LSTM.
+
+Re-expresses the inference half of the reference's network
+(/root/reference/ocrd_cor_asv_ann/lib/seq2seq.py:190-489 topology,
+1020-1119 vectorization, 1215-1286 greedy batch decode, 1356-1544 beam;
+lib/attention.py:440-621 additive attention with a local window) as a
+pure numpy forward pass — no TF/Keras on executors, weights live in a
+dict that is broadcast once per executor and shared by all Arrow
+batches.
+
+Semantics kept from the reference:
+* dense one-hot input, index 0 = padding/underspecified; lines end with
+  '\\n' as EOS;
+* greedy decode is lines-parallel with *softmax feedback* (the full
+  probability vector is fed back, not the argmax one-hot), argmax
+  excludes index 0, step cap = 2 × source length;
+* additive (Bahdanau) attention energy v·tanh(W h_dec + U h_enc) with a
+  precomputed encoder-side half and an optional local window mask ±w;
+* beam decode tracks cumulative -log p plus a prospective length-cost
+  (pro_cost analogue) and emits the best final hypothesis.
+
+The fixture model is deterministic (seeded orthogonal-ish weights): it
+produces stable, partitioning-independent outputs, which is what the
+Spark parity and batch-invariance tests pin down. A trained model drops
+in by replacing the weight dict (same keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EOS = "\n"
+UNK_IDX = 0
+
+
+def make_vocab(corpus_chars: set[str]) -> dict[str, int]:
+    """index 0 reserved for padding/unknown; EOS always present."""
+    chars = sorted(set(corpus_chars) | {EOS})
+    return {c: i + 1 for i, c in enumerate(chars)}
+
+
+def _rng_mat(rng: np.random.Generator, shape: tuple[int, ...], scale: float) -> np.ndarray:
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+
+def _softmax(x, axis=-1):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+class LSTMParams:
+    """Single LSTM layer parameters (input→4H kernel, H→4H recurrent)."""
+
+    def __init__(self, rng, in_dim: int, hid: int):
+        s = 1.0 / np.sqrt(max(in_dim, 1))
+        self.W = _rng_mat(rng, (in_dim, 4 * hid), s)
+        self.U = _rng_mat(rng, (hid, 4 * hid), 1.0 / np.sqrt(hid))
+        self.b = np.zeros(4 * hid, dtype=np.float32)
+        self.hid = hid
+
+    def step(self, x, h, c):
+        z = x @ self.W + h @ self.U + self.b
+        H = self.hid
+        i = _sigmoid(z[:, :H])
+        f = _sigmoid(z[:, H : 2 * H] + 1.0)  # forget-gate bias +1
+        g = np.tanh(z[:, 2 * H : 3 * H])
+        o = _sigmoid(z[:, 3 * H :])
+        c2 = f * c + i * g
+        h2 = o * np.tanh(c2)
+        return h2, c2
+
+    def run(self, X, reverse: bool = False):
+        """X: (B, T, in_dim) → (B, T, hid)."""
+        B, T, _ = X.shape
+        h = np.zeros((B, self.hid), dtype=np.float32)
+        c = np.zeros((B, self.hid), dtype=np.float32)
+        out = np.zeros((B, T, self.hid), dtype=np.float32)
+        steps = range(T - 1, -1, -1) if reverse else range(T)
+        for t in steps:
+            h, c = self.step(X[:, t, :], h, c)
+            out[:, t, :] = h
+        return out
+
+
+class Seq2SeqModel:
+    """width = hidden size, depth = number of LSTM layers per side."""
+
+    def __init__(self, vocab: dict[str, int], width: int = 32, depth: int = 1, window: int = 5, seed: int = 42):
+        self.vocab = vocab
+        self.inv_vocab = {i: c for c, i in vocab.items()}
+        self.voc_size = len(vocab) + 1  # +1 for index 0
+        self.width = width
+        self.depth = depth
+        self.window = window
+        rng = np.random.default_rng(seed)
+        V, W = self.voc_size, width
+        self.embed = _rng_mat(rng, (V, W), 1.0 / np.sqrt(V))  # tied with output
+        half = W // 2
+        self.enc_fwd = LSTMParams(rng, W, half)
+        self.enc_bwd = LSTMParams(rng, W, W - half)
+        self.enc_stack = [LSTMParams(rng, W, W) for _ in range(depth - 1)]
+        self.dec_stack = [LSTMParams(rng, W if d == 0 else W, W) for d in range(depth)]
+        # additive attention: v·tanh(Wd h_dec + We h_enc)
+        self.att_We = _rng_mat(rng, (W, W), 1.0 / np.sqrt(W))
+        self.att_Wd = _rng_mat(rng, (W, W), 1.0 / np.sqrt(W))
+        self.att_v = _rng_mat(rng, (W,), 1.0 / np.sqrt(W))
+        self.out_W = _rng_mat(rng, (2 * W, W), 1.0 / np.sqrt(2 * W))  # [h;ctx]→W
+        self.out_b = np.zeros(V, dtype=np.float32)
+
+    # --- vectorization (M1) -------------------------------------------------
+
+    def encode_onehot(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """strings → (B, L, V) one-hot (0 row = padding) + lengths."""
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        L = int(lens.max()) if len(lens) else 0
+        X = np.zeros((len(texts), L, self.voc_size), dtype=np.float32)
+        for b, t in enumerate(texts):
+            for j, ch in enumerate(t):
+                X[b, j, self.vocab.get(ch, UNK_IDX)] = 1.0
+        return X, lens
+
+    # --- encoder (M5/M6) ----------------------------------------------------
+
+    def encode(self, X: np.ndarray) -> np.ndarray:
+        """(B, L, V) → encoder states (B, L, W)."""
+        E = X @ self.embed  # dense embedding of (possibly soft) one-hots
+        fwd = self.enc_fwd.run(E)
+        bwd = self.enc_bwd.run(E, reverse=True)
+        H = np.concatenate([fwd, bwd], axis=-1)
+        for layer in self.enc_stack:
+            H = layer.run(H)
+        return H
+
+    def _attend(self, h_dec: np.ndarray, enc_proj: np.ndarray, enc: np.ndarray, mask: np.ndarray, center: np.ndarray | None):
+        """Additive attention. enc_proj = enc @ att_We precomputed once per
+        line (the reference precomputes the decoder-independent half the
+        same way). Returns (context (B,W), weights (B,L))."""
+        q = h_dec @ self.att_Wd  # (B, W)
+        e = np.tanh(enc_proj + q[:, None, :]) @ self.att_v  # (B, L)
+        e = np.where(mask, e, -1e9)
+        if center is not None and self.window:
+            idx = np.arange(e.shape[1])[None, :]
+            local = np.abs(idx - center[:, None]) <= self.window
+            e = np.where(local, e, -1e9)
+        a = _softmax(e, axis=1)
+        ctx = (a[:, :, None] * enc).sum(axis=1)
+        return ctx, a
+
+    def _project(self, h: np.ndarray, ctx: np.ndarray) -> np.ndarray:
+        """[h;ctx] → vocab logits with tied embedding."""
+        z = np.tanh(np.concatenate([h, ctx], axis=-1) @ self.out_W)
+        return z @ self.embed.T + self.out_b
+
+    # --- greedy batch decode (M2) -------------------------------------------
+
+    def decode_greedy_batch(self, texts: list[str]) -> tuple[list[str], list[list[float]], list[np.ndarray]]:
+        """Lines-parallel greedy decode with softmax feedback.
+
+        Returns (decoded texts incl. trailing EOS, per-char probabilities,
+        per-line soft-alignment matrices (out_len, in_len))."""
+        if not texts:
+            return [], [], []
+        X, lens = self.encode_onehot(texts)
+        B, L, V = X.shape
+        enc = self.encode(X)
+        enc_proj = enc @ self.att_We
+        mask = np.arange(L)[None, :] < lens[:, None]
+
+        h = [np.zeros((B, self.width), dtype=np.float32) for _ in self.dec_stack]
+        c = [np.zeros((B, self.width), dtype=np.float32) for _ in self.dec_stack]
+        feed = np.zeros((B, V), dtype=np.float32)  # start symbol = zero vector
+        done = np.zeros(B, dtype=bool)
+        center = np.zeros(B, dtype=np.int64)
+        outs: list[list[str]] = [[] for _ in range(B)]
+        probs: list[list[float]] = [[] for _ in range(B)]
+        aligns: list[list[np.ndarray]] = [[] for _ in range(B)]
+        max_steps = int(2 * lens.max()) + 1 if L else 0
+        eos_idx = self.vocab[EOS]
+        for _ in range(max_steps):
+            x = feed @ self.embed
+            for d in range(self.depth):
+                h[d], c[d] = self.dec_stack[d].step(x, h[d], c[d])
+                x = h[d]
+            ctx, a = self._attend(x, enc_proj, enc, mask, center)
+            logits = self._project(x, ctx)
+            p = _softmax(logits, axis=-1)
+            p[:, UNK_IDX] = 0.0  # argmax excludes underspecified index 0
+            nxt = p.argmax(axis=-1)
+            for b in range(B):
+                if done[b]:
+                    continue
+                # per-line step cap: 2 × source length (then force EOS)
+                if len(outs[b]) + 1 >= 2 * max(int(lens[b]), 1):
+                    outs[b].append(EOS)
+                    probs[b].append(float(p[b, eos_idx]))
+                    aligns[b].append(a[b, : lens[b]].copy())
+                    done[b] = True
+                    continue
+                ch = self.inv_vocab.get(int(nxt[b]), "")
+                outs[b].append(ch)
+                probs[b].append(float(p[b, nxt[b]]))
+                aligns[b].append(a[b, : lens[b]].copy())
+                if nxt[b] == eos_idx:
+                    done[b] = True
+            center = np.minimum(a.argmax(axis=1) + 1, np.maximum(lens - 1, 0))
+            feed = p  # softmax feedback
+            if done.all():
+                break
+        for b in range(B):
+            if not outs[b] or outs[b][-1] != EOS:
+                outs[b].append(EOS)
+                probs[b].append(1.0)
+                aligns[b].append(aligns[b][-1] if aligns[b] else np.ones(max(lens[b], 1)) / max(lens[b], 1))
+        return (
+            ["".join(o) for o in outs],
+            probs,
+            [np.stack(al) if al else np.zeros((0, 0)) for al in aligns],
+        )
+
+    # --- beam decode (M4, simplified faithful cost model) ---------------------
+
+    def decode_beam(
+        self,
+        text: str,
+        beam_width: int = 4,
+        rel_threshold: float = 0.2,
+        max_expansions: int = 15,
+    ) -> tuple[str, float]:
+        """Single-line beam search. Cost = Σ -log p; candidates are kept
+        when p ≥ rel_threshold · p_best (reference's relative-threshold
+        pruning) capped at max_expansions; ranking uses the prospective
+        cost cum + mean_step_cost·|len − src_len| (pro_cost analogue).
+        Returns (best text incl. EOS, total cost)."""
+        X, lens = self.encode_onehot([text])
+        enc = self.encode(X)
+        enc_proj = enc @ self.att_We
+        L = X.shape[1]
+        mask = np.ones((1, L), dtype=bool)
+        eos_idx = self.vocab[EOS]
+        src_len = len(text)
+
+        # hypothesis: (cum_cost, out_chars, h, c, feed, finished)
+        h0 = [np.zeros((1, self.width), dtype=np.float32) for _ in self.dec_stack]
+        c0 = [np.zeros((1, self.width), dtype=np.float32) for _ in self.dec_stack]
+        beams = [(0.0, [], h0, c0, np.zeros((1, self.voc_size), dtype=np.float32))]
+        finals: list[tuple[float, list[str]]] = []
+        for step in range(2 * max(src_len, 1) + 1):
+            candidates = []
+            for cum, out, h, c, feed in beams:
+                x = feed @ self.embed
+                hs, cs = [], []
+                for d in range(self.depth):
+                    hd, cd = self.dec_stack[d].step(x, h[d], c[d])
+                    hs.append(hd)
+                    cs.append(cd)
+                    x = hd
+                ctx, _ = self._attend(x, enc_proj, enc, mask, None)
+                p = _softmax(self._project(x, ctx), axis=-1)[0]
+                p[UNK_IDX] = 0.0
+                best_p = p.max()
+                order = np.argsort(-p)[:max_expansions]
+                for idx in order:
+                    if p[idx] < rel_threshold * best_p or p[idx] <= 0:
+                        break
+                    ch = self.inv_vocab.get(int(idx), "")
+                    cost = cum - float(np.log(max(p[idx], 1e-12)))
+                    if idx == eos_idx:
+                        finals.append((cost, out + [ch]))
+                    else:
+                        pv = np.zeros((1, self.voc_size), dtype=np.float32)
+                        pv[0] = p
+                        candidates.append((cost, out + [ch], hs, cs, pv))
+            if not candidates:
+                break
+            mean_cost = lambda cand: cand[0] / max(len(cand[1]), 1)  # noqa: E731
+            pro = lambda cand: cand[0] + mean_cost(cand) * abs(len(cand[1]) - src_len)  # noqa: E731
+            candidates.sort(key=pro)
+            beams = candidates[:beam_width]
+            if finals and min(f[0] for f in finals) < pro(beams[0]):
+                break
+        if not finals:
+            best = min(beams, key=lambda cand: cand[0])
+            return "".join(best[1]) + EOS, best[0]
+        cost, out = min(finals, key=lambda f: f[0])
+        return "".join(out), cost
+
+    # --- persistence ----------------------------------------------------------
+
+    def weights_dict(self) -> dict[str, np.ndarray]:
+        d = {"embed": self.embed, "att_We": self.att_We, "att_Wd": self.att_Wd, "att_v": self.att_v, "out_W": self.out_W, "out_b": self.out_b}
+        for name, layer in [("enc_fwd", self.enc_fwd), ("enc_bwd", self.enc_bwd)] + [
+            (f"enc{i}", l) for i, l in enumerate(self.enc_stack)
+        ] + [(f"dec{i}", l) for i, l in enumerate(self.dec_stack)]:
+            d[f"{name}_W"], d[f"{name}_U"], d[f"{name}_b"] = layer.W, layer.U, layer.b
+        return d
+
+    def save_npz(self, path: str) -> None:
+        meta = dict(width=self.width, depth=self.depth, window=self.window)
+        vocab_items = np.array(sorted(self.vocab.items()), dtype=object)
+        np.savez(path, __meta__=np.array(list(meta.items()), dtype=object), __vocab__=vocab_items, **self.weights_dict())
+
+    @classmethod
+    def load_npz(cls, path: str) -> "Seq2SeqModel":
+        z = np.load(path, allow_pickle=True)
+        meta = dict(z["__meta__"])
+        vocab = {k: int(v) for k, v in z["__vocab__"]}
+        m = cls(vocab, width=int(meta["width"]), depth=int(meta["depth"]), window=int(meta["window"]))
+        m.embed = z["embed"]
+        m.att_We, m.att_Wd, m.att_v = z["att_We"], z["att_Wd"], z["att_v"]
+        m.out_W, m.out_b = z["out_W"], z["out_b"]
+        for name, layer in [("enc_fwd", m.enc_fwd), ("enc_bwd", m.enc_bwd)] + [
+            (f"enc{i}", l) for i, l in enumerate(m.enc_stack)
+        ] + [(f"dec{i}", l) for i, l in enumerate(m.dec_stack)]:
+            layer.W, layer.U, layer.b = z[f"{name}_W"], z[f"{name}_U"], z[f"{name}_b"]
+        return m
+
+
+def viterbi_path(soft_alignment: np.ndarray, min_score: float | None = None) -> dict[int, int]:
+    """Best monotonic path through an (out_len, in_len) attention matrix →
+    {input_offset: output_offset} map (the reference's `_alignment2path`,
+    transcode.py:279-349, incl. the sparsity gate: cells below uniform
+    probability are skipped)."""
+    O, I = soft_alignment.shape
+    if O == 0 or I == 0:
+        return {0: 0}
+    if min_score is None:
+        min_score = 1.0 / max(I, 1)
+    logp = np.log(np.maximum(soft_alignment, 1e-12))
+    # DP over (out, in): moves are (o+1, i) stay, (o+1, i+1) diag, (o, i+1) skip
+    NEG = -1e18
+    D = np.full((O, I), NEG)
+    back = np.zeros((O, I), dtype=np.int8)  # 0 diag, 1 up(out only), 2 left(in only)
+    D[0, 0] = logp[0, 0]
+    for o in range(O):
+        for i in range(I):
+            if o == 0 and i == 0:
+                continue
+            best, op = NEG, 0
+            if o > 0 and i > 0 and D[o - 1, i - 1] > best:
+                best, op = D[o - 1, i - 1], 0
+            if o > 0 and D[o - 1, i] > best:
+                best, op = D[o - 1, i], 1
+            if i > 0 and D[o, i - 1] > best:
+                best, op = D[o, i - 1], 2
+            gain = logp[o, i] if soft_alignment[o, i] > min_score else 0.0
+            D[o, i] = best + gain
+            back[o, i] = op
+    # walk back collecting i→o at each advance of i
+    path = {I: O}
+    o, i = O - 1, I - 1
+    pairs = [(i, o)]
+    while o > 0 or i > 0:
+        op = back[o, i]
+        if op == 0:
+            o, i = o - 1, i - 1
+        elif op == 1:
+            o -= 1
+        else:
+            i -= 1
+        pairs.append((i, o))
+    for i_, o_ in pairs:
+        path[i_] = min(path.get(i_, o_), o_)
+    path.setdefault(0, 0)
+    return path

@@ -111,7 +111,9 @@ def make_correct_lines_udf(corrector: CorrectorFn):
             if pdf.empty:
                 continue
             in_lines = pdf["texts"].map(lambda ts: "".join(ts))
-            out_lines, out_probs = corrector(in_lines)
+            res = corrector(in_lines)
+            out_lines, out_probs = res[0], res[1]
+            paths = res[2] if len(res) > 2 else None  # model Viterbi paths
             rows_out, rows_conf, rows_cer = [], [], []
             for idx in range(len(pdf)):
                 texts = list(pdf["texts"].iloc[idx])
@@ -119,7 +121,8 @@ def make_correct_lines_udf(corrector: CorrectorFn):
                 is_ws = [k in WS_KINDS for k in kinds]
                 out_line = out_lines.iloc[idx]
                 probs = out_probs[idx] if out_probs is not None else None
-                new_texts, new_confs = segment_output(texts, is_ws, out_line, probs)
+                path = paths[idx] if paths is not None else None
+                new_texts, new_confs = segment_output(texts, is_ws, out_line, probs, path=path)
                 rows_out.append(new_texts)
                 rows_conf.append(new_confs)
                 in_line = in_lines.iloc[idx]

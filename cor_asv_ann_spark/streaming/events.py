@@ -1,0 +1,94 @@
+"""Structured Streaming entry points.
+
+The reference is batch-only (SURVEY.md §2.9) — its nearest construct is
+the generator pipeline gen_lines → gen_data (seq2seq.py:846-917). The
+engine still ships streaming equivalents of the two operators that make
+sense over an event/span stream, because a production extraction
+pipeline ingests documents incrementally:
+
+* windowed throughput/CER metrics (watermark + tumbling window);
+* streaming correction: the same Arrow-batched correction UDF applied
+  per micro-batch via foreachBatch (exactly-once with an idempotent
+  per-batch sink — the streaming twin of checkpoint.run_resumable).
+
+Local tests drive these with the file source over the driver's parquet
+and a memory sink (processAllAvailable → synchronous completion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+def windowed_metrics(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling-window per-type counts/sums with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str) -> None:
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def streaming_correction(
+    spark: SparkSession,
+    spans_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    corrector=None,
+):
+    """Micro-batch correction with exactly-once parquet output: the batch
+    pipeline applied inside foreachBatch. Returns the StreamingQuery."""
+    from ..operators.correction import correct_pipeline
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = correct_pipeline(batch_df, corrector=corrector)
+        out.write.mode("append").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        spans_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,91 @@
+"""Streaming windowed metrics + streaming correction, and the
+multimodal decode/feature plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cor_asv_ann_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+    synth_media_table,
+    FEATURE_DIM,
+)
+from cor_asv_ann_spark.sources.spans import synth_spans
+from cor_asv_ann_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_correction,
+    windowed_metrics,
+)
+
+
+def test_windowed_metrics_stream_equals_batch(spark, sf_small, tmp_path):
+    # the file stream source wants a directory of files
+    import shutil
+
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_small}/events.parquet", src_dir / "part-0.parquet")
+    stream = read_event_stream(spark, str(src_dir))
+    agg = windowed_metrics(stream)
+    run_stream_to_memory(agg, "win_out")
+    got = spark.sql("SELECT * FROM win_out")
+    # batch equivalent over the same file
+    batch = spark.read.parquet(f"{sf_small}/events.parquet")
+    want = (
+        batch.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "sum_value")
+    )
+    g = got.select("w_start", "event_type", "n", "sum_value")
+    assert g.count() > 0
+    # append mode: every emitted row must equal the batch result; windows
+    # still open when the stream drained (watermark can't pass them) are
+    # legitimately withheld
+    assert g.exceptAll(want).count() == 0
+    withheld = want.exceptAll(g).count()
+    n_types = batch.select("event_type").distinct().count()
+    assert withheld <= 4 * n_types  # at most watermark-horizon worth of windows
+
+
+def test_streaming_correction_equals_batch(spark, sf_small, tmp_path):
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+
+    noisy = synth_spans(spark, sf_small, noisy=True)
+    src = str(tmp_path / "src")
+    noisy.write.parquet(src)
+    stream = (
+        spark.readStream.schema(noisy.schema).option("maxFilesPerTrigger", 2).parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = streaming_correction(spark, stream, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out_dir}/epoch=*").select(
+        "doc_id", F.explode("spans").alias("s")
+    )
+    want = correct_pipeline(noisy).select("doc_id", F.explode("spans").alias("s"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_media_plumbing(spark, sf_small):
+    spans = synth_spans(spark, sf_small, noisy=False)
+    media = synth_media_table(spark, spans)
+    n = media.count()
+    assert n > 0
+    feats = extract_features(media)
+    rows = feats.limit(10).collect()
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(r.n_bytes == 128 for r in rows)
+    # deterministic regardless of partitioning
+    a = {r.media_ref: r.feature for r in extract_features(media.repartition(8)).collect()}
+    b = {r.media_ref: r.feature for r in extract_features(media.coalesce(1)).collect()}
+    assert a == b
+
+
+def test_decode_stub_contract():
+    v = decode_stub(b"x" * 16, "image")
+    assert v.shape == (64,) and v.dtype == np.float32
+    assert np.array_equal(v, decode_stub(b"x" * 16, "image"))
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", "hologram")
