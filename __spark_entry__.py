@@ -303,13 +303,16 @@ def q_minhash_signature(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH candidate pairs verified by exact n-gram Jaccard ≥0.35."""
+    """MinHash+LSH candidate pairs verified by exact n-gram Jaccard ≥0.35.
+    max_bucket caps degenerate band buckets (quadratic-pair guard — this
+    synthetic corpus is near-homogeneous, one bucket would hold most of
+    the table)."""
     from cor_asv_ann_spark.operators.dedup import minhash_dedup
 
     d = _docs(spark, sf_dir)
-    return minhash_dedup(d, "text", "doc_id", n=3, n_hashes=8, band_size=2, threshold=0.35).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_dedup(
+        d, "text", "doc_id", n=3, n_hashes=8, band_size=2, threshold=0.35, max_bucket=20
+    ).orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -652,12 +655,17 @@ def oracle_sql() -> dict[str, str]:
                      min(md5(g || '#4')) AS mh4, min(md5(g || '#5')) AS mh5,
                      min(md5(g || '#6')) AS mh6, min(md5(g || '#7')) AS mh7
               FROM ex GROUP BY doc_id),
-            banded AS (
+            banded0 AS (
               SELECT doc_id, band_idx,
                      CASE band_idx
                        WHEN 0 THEN mh0 || '|' || mh1 WHEN 1 THEN mh2 || '|' || mh3
                        WHEN 2 THEN mh4 || '|' || mh5 ELSE mh6 || '|' || mh7 END AS band_val
               FROM sig, unnest([0,1,2,3]) AS t(band_idx)),
+            banded AS (
+              -- max_bucket=20 degenerate-bucket guard (same as the Spark op)
+              SELECT doc_id, band_idx, band_val FROM (
+                SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+                FROM banded0) WHERE bsz <= 20),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM banded a JOIN banded b

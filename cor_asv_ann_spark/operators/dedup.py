@@ -61,12 +61,24 @@ def minhash_signature(df: DataFrame, id_col: str, n_hashes: int = 8) -> DataFram
 
 
 def lsh_candidates(
-    sig: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+    sig: DataFrame,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join per band bucket → candidate
     pairs (id_a < id_b). The join key is (band_idx, band_value) so each
     band is an independent equi-join; Catalyst shuffles on the bucket
-    hash — no quadratic blowup."""
+    hash.
+
+    ``max_bucket`` is the skew/degeneracy guard: a bucket of k docs emits
+    k·(k−1)/2 pairs, so one boilerplate-heavy bucket can dominate the
+    whole job quadratically (on this synthetic corpus a single bucket
+    holds most of the table → ~8M pairs at sf0.1). Buckets larger than
+    the cap are dropped here — near-identical boilerplate groups are
+    exact-dedup's job, and this bound is what makes the band join safe
+    at 10^12 docs."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -75,6 +87,11 @@ def lsh_candidates(
         ]
     )
     banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("bsz"))
+        banded = banded.join(
+            sizes.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_val"]
+        ).drop("bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -122,12 +139,13 @@ def minhash_dedup(
     n_hashes: int = 8,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
     Jaccard-verified pairs."""
     sh = with_shingles(df, text_col, n)
     sig = minhash_signature(sh, id_col, n_hashes)
-    cand = lsh_candidates(sig, id_col, n_hashes, band_size)
+    cand = lsh_candidates(sig, id_col, n_hashes, band_size, max_bucket)
     return ngram_jaccard_pairs(sh, cand, id_col, threshold)
 
 
@@ -155,10 +173,17 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col), F.expr(expr).alias("simhash"))
 
 
-def simhash_near_pairs(sh: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_near_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Candidate pairs whose simhash differs in ≤ max_hamming bits.
     Banding on 4 byte-chunks (pigeonhole: ≤3 differing bits ⇒ at least
-    one identical chunk) keeps the join bucketed."""
+    one identical chunk) keeps the join bucketed; ``max_bucket`` bounds
+    degenerate chunks the same way as in lsh_candidates."""
     n_chunks = 4
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
@@ -169,6 +194,9 @@ def simhash_near_pairs(sh: DataFrame, id_col: str = "doc_id", max_hamming: int =
         ]
     )
     banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    if max_bucket is not None:
+        sizes = banded.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("bsz"))
+        banded = banded.join(sizes.filter(F.col("bsz") <= max_bucket), ["ci", "cv"]).drop("bsz")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1,0 +1,115 @@
+"""Spellcheck marking (SURVEY.md §2.2 P8, §2.4 A7, §2.5 W6).
+
+The reference marks words as in-vocabulary / out-of-vocabulary against
+hunspell, normalizing each word (charmap + strip non-Letter/Mark
+codepoints, wrapper/mark.py:59-69 `asword`), retrying hyphenated
+line-final words joined with the next line's first word
+(wrapper/mark.py:107-124), and counts candidates/nonmatches across
+pages (mark.py:31-37,131-136 — a multiprocessing shared dict that in
+Spark is just an aggregation).
+
+Spark shape: normalization = pandas UDF; IV/OOV = broadcast left-semi /
+anti join against the lexicon; dehyphenation = lead() window over
+(doc, line) order; counters = one agg.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HYPHENS = ("-", "⸗", "­")
+
+
+@F.pandas_udf(T.StringType())
+def asword_udf(word: pd.Series) -> pd.Series:
+    """P8: keep only Letter/Mark codepoints (wrapper/mark.py:59-69)."""
+
+    def norm(w: str) -> str:
+        return "".join(c for c in (w or "") if unicodedata.category(c)[0] in ("L", "M"))
+
+    return word.map(norm)
+
+
+def words_from_spans(spans_df: DataFrame) -> DataFrame:
+    """Spans table → one row per word span with line/word positions."""
+    from .correction import spans_with_line_no
+
+    flat = spans_with_line_no(spans_df)
+    w = Window.partitionBy("doc_id", "line_no").orderBy("offset")
+    return (
+        flat.filter(F.col("kind") == "word")
+        .withColumn("word_idx", F.row_number().over(w) - 1)
+        .select("doc_id", "line_no", "word_idx", F.col("text").alias("word"), "offset")
+    )
+
+
+def mark_words(words: DataFrame, lexicon: DataFrame) -> DataFrame:
+    """IV/OOV marking: normalized word broadcast-joined against the
+    lexicon (column ``entry``). Returns words + ``oov`` flag."""
+    normed = words.withColumn("normed", F.lower(asword_udf(F.col("word"))))
+    lex = lexicon.select(F.lower(F.col("entry")).alias("normed")).distinct()
+    hit = normed.join(F.broadcast(lex), "normed", "left_semi").select(
+        "doc_id", "line_no", "word_idx"
+    ).withColumn("iv", F.lit(True))
+    return (
+        normed.join(hit, ["doc_id", "line_no", "word_idx"], "left")
+        .withColumn("oov", F.coalesce(~F.col("iv"), F.lit(True)))
+        .drop("iv")
+    )
+
+
+def dehyphenate_recheck(marked: DataFrame, lexicon: DataFrame) -> DataFrame:
+    """W6: a line-final word ending in a hyphen joins the next line's
+    first word; if the joined form is in-vocabulary, unmark both."""
+    w_line = Window.partitionBy("doc_id", "line_no")
+    w_doc = Window.partitionBy("doc_id").orderBy("line_no", "word_idx")
+    df = marked.withColumn("max_idx", F.max("word_idx").over(w_line))
+    df = df.withColumn(
+        "next_word",
+        F.lead("word").over(w_doc),
+    ).withColumn(
+        "next_line",
+        F.lead("line_no").over(w_doc),
+    )
+    hyph = (
+        (F.col("word_idx") == F.col("max_idx"))
+        & F.col("next_word").isNotNull()
+        & (F.col("next_line") == F.col("line_no") + 1)
+        & F.substring(F.col("word"), -1, 1).isin(*HYPHENS)
+    )
+    joined = F.concat(
+        F.expr("substring(word, 1, length(word) - 1)"), F.col("next_word")
+    )
+    cand = df.withColumn("joined", F.when(hyph, F.lower(asword_udf(joined))))
+    lex = lexicon.select(F.lower(F.col("entry")).alias("joined")).distinct()
+    hit = (
+        cand.filter(F.col("joined").isNotNull())
+        .join(F.broadcast(lex), "joined", "left_semi")
+        .select("doc_id", "line_no", "word_idx")
+        .withColumn("dehyph_iv", F.lit(True))
+    )
+    out = cand.join(hit, ["doc_id", "line_no", "word_idx"], "left")
+    # unmark the hyphenated half; its continuation is unmarked via the
+    # same join on the following row
+    cont = hit.select(
+        "doc_id", (F.col("line_no") + 1).alias("line_no"), F.lit(0).alias("word_idx")
+    ).withColumn("cont_iv", F.lit(True))
+    out = out.join(cont, ["doc_id", "line_no", "word_idx"], "left")
+    return out.withColumn(
+        "oov",
+        F.col("oov") & F.col("dehyph_iv").isNull() & F.col("cont_iv").isNull(),
+    ).select("doc_id", "line_no", "word_idx", "word", "normed", "oov")
+
+
+def mark_counters(marked: DataFrame) -> DataFrame:
+    """A7: corpus counters — total candidates and nonmatches."""
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("oov").cast("long")).alias("n_oov"),
+        F.round(F.avg(F.col("oov").cast("double")), 6).alias("oov_rate"),
+    )

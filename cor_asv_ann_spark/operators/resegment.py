@@ -1,0 +1,122 @@
+"""Post-correction word resegmentation (SURVEY.md §2.5 W5) and
+confidence roll-up (§2.4 A8).
+
+The reference merges Words whose separating whitespace was deleted by
+the correction and splits Words where the correction introduced an
+inner space, splitting the geometry proportionally
+(/root/reference/ocrd_cor_asv_ann/wrapper/transcode.py:488-628). Here
+the same rewrite runs per corrected line row inside an Arrow batch
+(cardinality changes stay inside the line's span arrays; offsets are
+renumbered per document at reassembly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import CORRECTED_LINE_SCHEMA
+
+
+def resegment_line(
+    kinds: list[str], texts: list[str], refs: list[str | None], confs: list[float]
+) -> tuple[list[str], list[str], list[str | None], list[float]]:
+    """Pure per-line rewrite: merge around emptied whitespace, split at
+    introduced inner whitespace."""
+    out_k: list[str] = []
+    out_t: list[str] = []
+    out_r: list[str | None] = []
+    out_c: list[float] = []
+
+    def emit(k, t, r, c):
+        out_k.append(k)
+        out_t.append(t)
+        out_r.append(r)
+        out_c.append(c)
+
+    i = 0
+    n = len(kinds)
+    while i < n:
+        k, t, r, c = kinds[i], texts[i], refs[i], confs[i]
+        if k == "space" and t == "" and out_k and out_k[-1] == "word" and i + 1 < n and kinds[i + 1] == "word":
+            # deleted space → merge previous word with next word
+            out_t[-1] = out_t[-1] + texts[i + 1]
+            out_c[-1] = (out_c[-1] + confs[i + 1]) / 2.0
+            # geometry of the merge spans both words (reference merges
+            # Coords); keep the left anchor, record the join
+            i += 2
+            continue
+        if k == "word" and " " in t.strip() and t.strip():
+            # introduced inner space → split into word/space/word...
+            parts = t.split(" ")
+            total = max(len(t), 1)
+            pos = 0
+            for j, p in enumerate(parts):
+                if p:
+                    # proportional geometry split (reference splits
+                    # Coords/@points by character share)
+                    frac = f"{pos}-{pos + len(p)}/{total}"
+                    emit("word", p, f"{r}#split[{frac}]" if r else r, c)
+                pos += len(p)
+                if j + 1 < len(parts):
+                    emit("space", " ", None, 1.0)
+                    pos += 1
+            i += 1
+            continue
+        emit(k, t, r, c)
+        i += 1
+    return out_k, out_t, out_r, out_c
+
+
+def resegment_lines(corrected: DataFrame) -> DataFrame:
+    """Apply resegment_line to each corrected line row (Arrow-batched);
+    offsets are re-derived as dense per-line positions — documents get
+    globally renumbered at reassembly time."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                k, t, r, c = resegment_line(
+                    list(row["kinds"]),
+                    list(row["out_texts"]),
+                    list(row["media_refs"]),
+                    list(row["out_confs"]),
+                )
+                base = int(row["offsets"][0]) if len(row["offsets"]) else 0
+                rows.append(
+                    {
+                        "doc_id": row["doc_id"],
+                        "line_no": row["line_no"],
+                        "kinds": k,
+                        "texts": list(row["texts"]),
+                        "media_refs": r,
+                        "offsets": list(range(base, base + len(k))),
+                        "out_texts": t,
+                        "out_confs": c,
+                        "line_cer": row["line_cer"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in CORRECTED_LINE_SCHEMA.fields])
+
+    return corrected.mapInPandas(run, schema=CORRECTED_LINE_SCHEMA)
+
+
+def confidence_rollup(corrected: DataFrame) -> DataFrame:
+    """A8: glyph/word→line→document confidence as the mean of children
+    (the reference averages TextEquiv conf up the tree,
+    transcode.py:714-742). Pure relational: explode + two-level agg."""
+    per_span = corrected.select(
+        "doc_id",
+        "line_no",
+        F.explode(F.arrays_zip(F.col("kinds").alias("kind"), F.col("out_confs").alias("conf"))).alias("s"),
+    ).select("doc_id", "line_no", F.col("s.kind").alias("kind"), F.col("s.conf").alias("conf"))
+    word_conf = per_span.filter(F.col("kind") == "word")
+    line_level = word_conf.groupBy("doc_id", "line_no").agg(F.avg("conf").alias("line_conf"))
+    doc_level = line_level.groupBy("doc_id").agg(F.avg("line_conf").alias("doc_conf"))
+    return line_level.join(doc_level, "doc_id")

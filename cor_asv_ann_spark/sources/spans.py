@@ -70,6 +70,10 @@ def build_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]
 def synth_spans(spark: SparkSession, sf_dir: str, noisy: bool = False) -> DataFrame:
     """documents.parquet → spans table (GT or reversibly-degraded)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # the fixture is a single parquet file → one input split; spread the
+    # generator across the cluster (a real 10^12-doc Iceberg table arrives
+    # already split, so this shuffle exists only in the synthetic path)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,87 @@
+"""spark-submit entry point for the correction pipeline.
+
+Cluster usage (north rule: ships via --py-files to multi-executor
+clusters at N and 4N executors):
+
+    zip -r corasv.zip cor_asv_ann_spark/
+    spark-submit --py-files corasv.zip jobs/run_correction.py \
+        --input <spans table/path> --output <dir> \
+        --lineage <dir> --run-id r1 --buckets 64 [--model weights.npz]
+
+Local smoke:
+
+    python jobs/run_correction.py --sf-dir /root/testdata/sf0.001 \
+        --output /tmp/out --lineage /tmp/lineage --run-id smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")  # --py-files puts the package on the path in cluster mode
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="spans parquet/Iceberg path")
+    ap.add_argument("--sf-dir", help="synthesize noisy spans from this testdata dir")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--model", help="npz model weights (default: rule corrector)")
+    ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
+    args = ap.parse_args()
+
+    from cor_asv_ann_spark.checkpoint import run_resumable
+    from cor_asv_ann_spark.session import build_session
+    from cor_asv_ann_spark.sources.spans import read_spans, synth_spans
+
+    spark = build_session(app=f"correction-{args.run_id}", cpus=args.cpus)
+    if args.input:
+        spans = read_spans(spark, args.input)
+    elif args.sf_dir:
+        spans = synth_spans(spark, args.sf_dir, noisy=True)
+    else:
+        ap.error("one of --input / --sf-dir is required")
+
+    corrector = None
+    if args.model:
+        from cor_asv_ann_spark.model.corrector import make_model_corrector
+        from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel
+
+        corrector = make_model_corrector(spark, Seq2SeqModel.load_npz(args.model))
+
+    summary = run_resumable(
+        spark,
+        spans,
+        args.output,
+        args.lineage,
+        args.run_id,
+        n_buckets=args.buckets,
+        corrector=corrector,
+    )
+    lineage = spark.read.parquet(args.lineage)
+    from pyspark.sql import functions as F
+
+    m = lineage.filter(F.col("run_id") == args.run_id).agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_lines").alias("lines"),
+        F.sum("wall_sec").alias("wall"),
+        F.avg("cer").alias("cer"),
+    ).collect()[0]
+    summary.update(
+        n_docs=int(m.docs or 0),
+        n_lines=int(m.lines or 0),
+        wall_sec=round(float(m.wall or 0), 2),
+        docs_per_sec=round((m.docs or 0) / m.wall, 1) if m.wall else None,
+        mean_cer=round(float(m.cer), 6) if m.cer is not None else None,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

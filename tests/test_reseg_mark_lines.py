@@ -1,0 +1,135 @@
+"""Resegmentation (W5), marking (P8/A7/W6), line sources (S5/S6/P3-P7)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from cor_asv_ann_spark.operators.mark import (
+    dehyphenate_recheck,
+    mark_counters,
+    mark_words,
+    words_from_spans,
+)
+from cor_asv_ann_spark.operators.resegment import confidence_rollup, resegment_line
+from cor_asv_ann_spark.schema import SPANS_SCHEMA
+from cor_asv_ann_spark.sources.lines import (
+    prepare_pairs,
+    read_tsv_pairs,
+    scan_vocabulary,
+    train_val_split,
+)
+
+
+def test_resegment_merge():
+    # deleted space between words → merge
+    k, t, r, c = resegment_line(
+        ["word", "space", "word", "newline"],
+        ["fo", "", "o", "\n"],
+        ["a", None, "b", None],
+        [0.9, 1.0, 0.7, 1.0],
+    )
+    assert t == ["foo", "\n"]
+    assert k == ["word", "newline"]
+    assert r[0] == "a"
+    assert c[0] == pytest.approx(0.8)
+
+
+def test_resegment_split():
+    # introduced inner space → split with proportional geometry anchors
+    k, t, r, c = resegment_line(
+        ["word", "newline"], ["ab cd", "\n"], ["g", None], [0.6, 1.0]
+    )
+    assert t == ["ab", " ", "cd", "\n"]
+    assert k == ["word", "space", "word", "newline"]
+    assert r[0].startswith("g#split[") and r[2].startswith("g#split[")
+
+
+def test_resegment_noop():
+    k, t, r, c = resegment_line(["word", "newline"], ["ok", "\n"], ["g", None], [1.0, 1.0])
+    assert t == ["ok", "\n"] and k == ["word", "newline"]
+
+
+SPANS = [
+    Row(
+        doc_id="d1",
+        spans=[
+            Row(kind="word", text="hel-", media_ref="r0", offset=0),
+            Row(kind="newline", text="\n", media_ref=None, offset=1),
+            Row(kind="word", text="lo", media_ref="r1", offset=2),
+            Row(kind="space", text=" ", media_ref=None, offset=3),
+            Row(kind="word", text="zzzq", media_ref="r2", offset=4),
+            Row(kind="newline", text="\n", media_ref=None, offset=5),
+        ],
+    )
+]
+
+
+def test_mark_and_dehyphenate(spark):
+    spans = spark.createDataFrame(SPANS, schema=SPANS_SCHEMA)
+    words = words_from_spans(spans)
+    lex = spark.createDataFrame([("hello",), ("world",)], ["entry"])
+    marked = mark_words(words, lex)
+    flags = {(r.line_no, r.word_idx): r.oov for r in marked.collect()}
+    assert flags[(0, 0)] is True  # 'hel-' alone is OOV
+    assert flags[(1, 0)] is True  # 'lo' alone is OOV
+    assert flags[(1, 1)] is True  # 'zzzq' is OOV
+    rechecked = dehyphenate_recheck(marked, lex)
+    flags2 = {(r.line_no, r.word_idx): r.oov for r in rechecked.collect()}
+    assert flags2[(0, 0)] is False  # hel- + lo = hello ∈ lexicon
+    assert flags2[(1, 0)] is False  # continuation unmarked too
+    assert flags2[(1, 1)] is True
+    counters = mark_counters(rechecked).collect()[0]
+    assert counters.n_words == 3 and counters.n_oov == 1
+
+
+def test_confidence_rollup(spark):
+    from cor_asv_ann_spark.schema import CORRECTED_LINE_SCHEMA
+
+    corrected = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d",
+                line_no=0,
+                kinds=["word", "space", "word", "newline"],
+                texts=["a", " ", "b", "\n"],
+                media_refs=[None] * 4,
+                offsets=[0, 1, 2, 3],
+                out_texts=["a", " ", "b", "\n"],
+                out_confs=[0.8, 1.0, 0.6, 1.0],
+                line_cer=0.0,
+            )
+        ],
+        schema=CORRECTED_LINE_SCHEMA,
+    )
+    row = confidence_rollup(corrected).collect()[0]
+    assert row.line_conf == pytest.approx(0.7)
+    assert row.doc_conf == pytest.approx(0.7)
+
+
+def test_tsv_pairs_and_prepare(spark, tmp_path):
+    p = tmp_path / "pairs.tsv"
+    p.write_text("ſlovv\tslow\nbadbadbad\tzzzzzzzzzzzz\ncafé\tcafé\n")
+    pairs = read_tsv_pairs(spark, str(p))
+    assert pairs.count() == 3
+    prep = prepare_pairs(pairs)
+    rows = prep.collect()
+    # bad pair dropped (quick_ratio < 0.5, len > 5)
+    assert len(rows) == 2
+    for r in rows:
+        assert r.source.endswith("\n") and r.target.endswith("\n")
+    nfc = [r for r in rows if "café" in r.target]
+    assert nfc and nfc[0].source == "café\n"  # NFC composed
+
+    charmapped = prepare_pairs(pairs, charmap={"ſ": "s", "vv": "w"}).collect()
+    srcs = [r.source for r in charmapped]
+    assert "slow\n" in srcs
+
+
+def test_vocab_and_split(spark, tmp_path):
+    p = tmp_path / "v.tsv"
+    p.write_text("abc\tabd\nxyz\txyz\n")
+    pairs = prepare_pairs(read_tsv_pairs(spark, str(p)), drop_bad=False)
+    vocab = scan_vocabulary(pairs)
+    assert set(vocab) == set("abcdxyz\n")
+    assert 0 not in vocab.values()
+    train, val = train_val_split(pairs, 0.5, seed=1)
+    assert train.count() + val.count() == 2
