@@ -404,6 +404,92 @@ def q_doc_fingerprint(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_word_histogram(spark, sf_dir):
+    """A3 (word level): top-40 whitespace tokens."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(40)
+    )
+
+
+def q_mark_oov(spark, sf_dir):
+    """P8/A7-shaped: OOV rate per language against a corpus-derived
+    lexicon (top-20 tokens) — broadcast anti-join marking."""
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "lang", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    lex = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(20)
+        .select("w")
+    )
+    iv = words.join(F.broadcast(lex), "w", "left_semi").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_iv")
+    )
+    tot = words.groupBy("lang").agg(F.count(F.lit(1)).alias("n_words"))
+    return (
+        tot.join(iv, "lang", "left")
+        .select(
+            "lang",
+            "n_words",
+            F.coalesce("n_iv", F.lit(0)).alias("n_iv"),
+            F.round(
+                (F.col("n_words") - F.coalesce("n_iv", F.lit(0))) / F.col("n_words"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish subword proxy counts per language (letter runs / digit
+    runs / single punctuation)."""
+    from cor_asv_ann_spark.operators.textstats import bpe_ish_token_count
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", bpe_ish_token_count(F.col("text")).alias("n_sub"))
+        .groupBy("lang")
+        .agg(F.sum("n_sub").alias("sum_subtokens"), F.round(F.avg("n_sub"), 6).alias("avg_subtokens"))
+        .orderBy("lang")
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """T2-shaped window top-k: 3 longest documents per language."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns."""
+    e = _events(spark, sf_dir)
+    types = [r.event_type for r in e.select("event_type").distinct().orderBy("event_type").collect()]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
 # --- UDF / pipeline operators (rows-only checks) ----------------------------
 
 
@@ -501,6 +587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "word_histogram": q_word_histogram,
+        "mark_oov": q_mark_oov,
+        "bpe_token_count": q_bpe_token_count,
+        "topk_per_group": q_topk_per_group,
+        "events_pivot": q_events_pivot,
         # UDF / pipeline (rows-only)
         "correct_spans_pipeline": q_correct_spans_pipeline,
         "adjusted_cer": q_adjusted_cer,
@@ -780,5 +871,53 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 16) AS fp,
                    CAST(floor(n_chars / 100) * 100 AS BIGINT) AS len_bucket
             FROM documents ORDER BY doc_id
+        """,
+        "word_histogram": """
+            SELECT w, count(*) AS n FROM (
+              SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+            WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 40
+        """,
+        "mark_oov": """
+            WITH words AS (
+              SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+              FROM documents),
+            words2 AS (SELECT * FROM words WHERE w <> ''),
+            lex AS (
+              SELECT w FROM (
+                SELECT w, count(*) AS n FROM words2 GROUP BY w
+                ORDER BY n DESC, w LIMIT 20)),
+            iv AS (
+              SELECT lang, count(*) AS n_iv FROM words2
+              WHERE w IN (SELECT w FROM lex) GROUP BY lang),
+            tot AS (SELECT lang, count(*) AS n_words FROM words2 GROUP BY lang)
+            SELECT tot.lang, n_words, coalesce(n_iv, 0) AS n_iv,
+                   round(CAST(n_words - coalesce(n_iv, 0) AS DOUBLE) / n_words, 6) AS oov_rate
+            FROM tot LEFT JOIN iv ON tot.lang = iv.lang ORDER BY tot.lang
+        """,
+        "bpe_token_count": """
+            SELECT lang, sum(n_sub) AS sum_subtokens,
+                   round(avg(n_sub), 6) AS avg_subtokens
+            FROM (
+              SELECT lang,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_sub
+              FROM documents)
+            GROUP BY lang ORDER BY lang
+        """,
+        "topk_per_group": """
+            SELECT lang, doc_id, n_chars, rk FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents)
+            WHERE rk <= 3 ORDER BY lang, rk
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }

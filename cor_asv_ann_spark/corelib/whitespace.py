@@ -120,11 +120,16 @@ def segment_output(
     output_line: str,
     output_conf: list[float] | None = None,
     path: dict[int, int] | None = None,
+    locked: list[bool] | None = None,
 ) -> tuple[list[str], list[float]]:
     """Cut ``output_line`` into one segment per input span and apply the
     whitespace-redistribution rules. Returns (new_texts, new_confs) of the
     same length as ``span_texts``; conf is the mean output probability of
-    the span's segment (1.0 when empty)."""
+    the span's segment (1.0 when empty).
+
+    ``locked`` marks spans that must come out exactly as they went in
+    (media anchors riding along in the line): any output the alignment
+    lands on them is pushed to the following span."""
     input_line = "".join(span_texts)
     if path is None:
         path = alignment_path(input_line, output_line)
@@ -148,41 +153,64 @@ def segment_output(
     texts = [output_line[bounds[k] : bounds[k + 1]] for k in range(len(span_texts))]
 
     n = len(texts)
+    if locked is not None:
+        for k in range(n):
+            if locked[k] and texts[k]:
+                if k + 1 < n:
+                    texts[k + 1] = texts[k] + texts[k + 1]
+                elif k > 0:
+                    texts[k - 1] += texts[k]
+                texts[k] = ""
+    def left_of(k: int) -> int:
+        j = k - 1
+        while j >= 0 and locked is not None and locked[j]:
+            j -= 1
+        return j
+
+    def right_of(k: int) -> int:
+        j = k + 1
+        while j < n and locked is not None and locked[j]:
+            j += 1
+        return j
+
     for k in range(n):
         out = texts[k]
+        if locked is not None and locked[k]:
+            continue
+        lk, rk = left_of(k), right_of(k)
         if is_ws[k]:
             # LHS: leading non-whitespace belongs to the previous span
-            if out and not out.startswith((" ", "\n")) and k > 0:
+            if out and not out.startswith((" ", "\n")) and lk >= 0:
                 while out and not out.startswith((" ", "\n")):
-                    texts[k - 1] += out[0]
+                    texts[lk] += out[0]
                     out = out[1:]
             # RHS: trailing word belongs to the next span
-            if out and not out.endswith((" ", "\n")) and k + 1 < n:
+            if out and not out.endswith((" ", "\n")) and rk < n:
                 tail = len(out.split(" ")[-1])
-                texts[k + 1] = out[-tail:] + texts[k + 1]
+                texts[rk] = out[-tail:] + texts[rk]
                 out = out[:-tail]
             # middle: any remaining non-whitespace goes left
-            if out.split() and k > 0:
+            if out.split() and lk >= 0:
                 while out.split():
-                    texts[k - 1] += out[0]
+                    texts[lk] += out[0]
                     out = out[1:]
-            elif out.split() and k + 1 < n:
+            elif out.split() and rk < n:
                 # line-initial whitespace span with no left neighbour
                 # (model correctors can produce this): push right instead
                 # so the invariant below still holds
                 tail = out.lstrip(" ")
-                texts[k + 1] = tail + texts[k + 1]
+                texts[rk] = tail + texts[rk]
                 out = out[: len(out) - len(tail)]
         else:
             # LHS: leading spaces belong to a preceding whitespace span
-            if out.startswith(" ") and k > 0 and is_ws[k - 1]:
+            if out.startswith(" ") and lk >= 0 and is_ws[lk]:
                 while out.startswith(" "):
-                    texts[k - 1] += out[0]
+                    texts[lk] += out[0]
                     out = out[1:]
             # RHS: trailing whitespace belongs to a following whitespace span
-            if out.endswith((" ", "\n")) and k + 1 < n and is_ws[k + 1]:
+            if out.endswith((" ", "\n")) and rk < n and is_ws[rk]:
                 while out.endswith((" ", "\n")):
-                    texts[k + 1] = out[-1] + texts[k + 1]
+                    texts[rk] = out[-1] + texts[rk]
                     out = out[:-1]
         texts[k] = out
 

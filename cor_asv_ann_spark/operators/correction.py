@@ -72,10 +72,12 @@ def spans_with_line_no(df: DataFrame) -> DataFrame:
 
 def assemble_lines(flat: DataFrame) -> DataFrame:
     """Span grain → line grain: ordered parallel arrays per (doc, line).
-    Media spans don't carry line text — they bypass correction."""
-    text_spans = flat.filter(F.col("kind").isin(*TEXT_KINDS))
+    Media spans ride along as locked members of their line (zero text;
+    the UDF never writes into them) — keeping them in-path means the
+    input is scanned exactly once instead of a second scan for a
+    media-bypass union branch."""
     lines = (
-        text_spans.groupBy("doc_id", "line_no")
+        flat.groupBy("doc_id", "line_no")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -118,11 +120,20 @@ def make_correct_lines_udf(corrector: CorrectorFn):
             for idx in range(len(pdf)):
                 texts = list(pdf["texts"].iloc[idx])
                 kinds = list(pdf["kinds"].iloc[idx])
+                in_line = in_lines.iloc[idx]
+                if in_line == "":  # media-only / empty line: pass through
+                    rows_out.append(texts)
+                    rows_conf.append([1.0] * len(texts))
+                    rows_cer.append(0.0)
+                    continue
                 is_ws = [k in WS_KINDS for k in kinds]
+                locked = [k not in TEXT_KINDS for k in kinds]
                 out_line = out_lines.iloc[idx]
                 probs = out_probs[idx] if out_probs is not None else None
                 path = paths[idx] if paths is not None else None
-                new_texts, new_confs = segment_output(texts, is_ws, out_line, probs, path=path)
+                new_texts, new_confs = segment_output(
+                    texts, is_ws, out_line, probs, path=path, locked=locked
+                )
                 rows_out.append(new_texts)
                 rows_conf.append(new_confs)
                 in_line = in_lines.iloc[idx]
@@ -139,9 +150,9 @@ def correct_lines(lines: DataFrame, corrector: CorrectorFn | None = None) -> Dat
     return lines.mapInPandas(make_correct_lines_udf(corrector), schema=CORRECTED_LINE_SCHEMA)
 
 
-def reassemble(corrected: DataFrame, media: DataFrame) -> DataFrame:
-    """Corrected line rows + bypassed media spans → spans table, ordered
-    collect_list keyed by doc_id (the north-rule reassembly)."""
+def reassemble(corrected: DataFrame) -> DataFrame:
+    """Corrected line rows → spans table, ordered collect_list keyed by
+    doc_id (the north-rule reassembly)."""
     text_spans = corrected.select(
         "doc_id",
         F.explode(
@@ -159,10 +170,8 @@ def reassemble(corrected: DataFrame, media: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
     )
-    media_spans = media.select("doc_id", "offset", "kind", "text", "media_ref")
-    all_spans = text_spans.unionByName(media_spans)
     return (
-        all_spans.groupBy("doc_id")
+        text_spans.groupBy("doc_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
@@ -195,10 +204,9 @@ def correct_pipeline(
         if bucket_filter is not None:
             flat = flat.filter(F.col("bucket").isin(bucket_filter))
         flat = flat.drop("bucket")
-    media = flat.filter(~F.col("kind").isin(*TEXT_KINDS))
     lines = assemble_lines(flat)
     corrected = correct_lines(lines, corrector)
-    return reassemble(corrected, media)
+    return reassemble(corrected)
 
 
 def pipeline_metrics(corrected: DataFrame) -> DataFrame:

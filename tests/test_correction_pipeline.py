@@ -54,7 +54,11 @@ def test_assemble_lines_concat_roundtrip(gt):
     joined = lines.select(
         "doc_id", F.expr("concat_ws('', texts)").alias("line_text")
     )
-    assert joined.filter(~F.col("line_text").endswith("\n")).count() == 0
+    # every non-empty line ends with exactly one newline; pure-media
+    # trailing lines are empty (media spans carry no text)
+    assert joined.filter(
+        (F.col("line_text") != "") & ~F.col("line_text").endswith("\n")
+    ).count() == 0
     assert joined.filter(F.col("line_text").contains("\n\n")).count() == 0
 
 
