@@ -551,6 +551,15 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicates via hyperplane buckets
+    (float-boundary bucket bits → rows-only)."""
+    from cor_asv_ann_spark.operators.dedup import embedding_near_dups
+
+    e = _emb(spark, sf_dir)
+    return embedding_near_dups(e, threshold=0.9, n_buckets=8).orderBy("id_a", "id_b")
+
+
 def q_knn_ann_lsh(spark, sf_dir):
     """Approximate ANN via hyperplane-LSH buckets (approximate → rows-only)."""
     from cor_asv_ann_spark.operators.similarity import lsh_topk
@@ -598,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_topk": q_confusion_topk,
         "wer_corpus": q_wer_corpus,
         "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dups": q_embedding_near_dups,
         "knn_ann_lsh": q_knn_ann_lsh,
     }
 

@@ -116,10 +116,18 @@ def ngram_jaccard_pairs(
     are re-joined per side; intersection via array_intersect on the
     pair row (documents are bounded, arrays fit in memory)."""
     sh = df.select(F.col(id_col), F.col("shingles"))
+    paired = candidates.join(
+        sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a"
+    ).join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    # size-ratio prefilter: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
+    # failing that bound can't pass the threshold — prunes before the
+    # O(|A|+|B|) intersection (the dominant cost at scale)
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    paired = paired.filter(
+        F.least(na, nb) >= F.greatest(na, nb) * F.lit(threshold)
+    )
     out = (
-        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-        .withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
+        paired.withColumn("n_int", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.col("n_int")
@@ -142,8 +150,15 @@ def minhash_dedup(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
-    Jaccard-verified pairs."""
-    sh = with_shingles(df, text_col, n)
+    Jaccard-verified pairs.
+
+    The shingle frame feeds both the signature pass and the verification
+    pass; persisting it avoids recomputing 10^2-element arrays per doc
+    twice (at warehouse scale this is a materialized intermediate table,
+    here a MEMORY_AND_DISK persist for the job's lifetime)."""
+    from pyspark import StorageLevel
+
+    sh = with_shingles(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, id_col, n_hashes)
     cand = lsh_candidates(sig, id_col, n_hashes, band_size, max_bucket)
     return ngram_jaccard_pairs(sh, cand, id_col, threshold)

