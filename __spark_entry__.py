@@ -556,8 +556,11 @@ def q_embedding_near_dups(spark, sf_dir):
     (float-boundary bucket bits → rows-only)."""
     from cor_asv_ann_spark.operators.dedup import embedding_near_dups
 
+    # the fixture embeddings are near-orthogonal random unit vectors
+    # (max pairwise cosine ≈ 0.4), so the "near-dup" threshold is set
+    # low enough to be non-vacuous on this data
     e = _emb(spark, sf_dir)
-    return embedding_near_dups(e, threshold=0.9, n_buckets=8).orderBy("id_a", "id_b")
+    return embedding_near_dups(e, threshold=0.25, n_buckets=8).orderBy("id_a", "id_b")
 
 
 def q_knn_ann_lsh(spark, sf_dir):
