@@ -47,22 +47,50 @@ def model_state(model: Seq2SeqModel) -> dict:
     }
 
 
-def make_model_corrector(spark, model: Seq2SeqModel):
+def make_model_corrector(
+    spark,
+    model: Seq2SeqModel,
+    beam: bool = False,
+    beam_width: int = 4,
+    use_conf: bool = False,
+):
     """CorrectorFn over a broadcast model: texts → (out_lines, probs,
-    viterbi paths)."""
+    viterbi paths).
+
+    ``beam=True`` switches to per-line beam decoding (the reference's
+    opt-in slow path, README "up to ten times less CPU" for greedy);
+    beam exposes no soft alignment, so span realignment falls back to
+    the NW path. ``use_conf=True`` consumes a per-line confidence
+    channel (prob-line encoding)."""
     bc = spark.sparkContext.broadcast(model_state(model))
 
-    def corrector(texts: pd.Series):
+    def _model() -> Seq2SeqModel:
         key = id(bc)
         m = _MODEL_CACHE.get(key)
         if m is None:
             m = _model_from_state(bc.value)
             _MODEL_CACHE[key] = m
-        outs, probs, aligns = m.decode_greedy_batch(list(texts))
+        return m
+
+    def corrector(texts: pd.Series, confs: pd.Series | None = None):
+        m = _model()
+        if beam:
+            outs = []
+            for t in texts:
+                out, _cost = m.decode_beam(t, beam_width=beam_width)
+                outs.append(out)
+            return pd.Series(outs, index=texts.index), None, None
+        if use_conf and confs is not None:
+            outs, probs, aligns = m.decode_greedy_prob(
+                list(texts), [list(c) if c is not None else None for c in confs]
+            )
+        else:
+            outs, probs, aligns = m.decode_greedy_batch(list(texts))
         paths = []
         for t, out, al in zip(texts, outs, aligns):
             # attention matrix is (out_len, in_len) → input-offset map
             paths.append(viterbi_path(al[:, : len(t)] if al.size else al))
         return pd.Series(outs, index=texts.index), probs, paths
 
+    corrector.wants_conf = use_conf
     return corrector

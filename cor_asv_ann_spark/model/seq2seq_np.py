@@ -124,6 +124,51 @@ class Seq2SeqModel:
                 X[b, j, self.vocab.get(ch, UNK_IDX)] = 1.0
         return X, lens
 
+    def encode_problines(
+        self, texts: list[str], confs: list[list[float]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encoding 2 (prob line, seq2seq.py:953-955 semantics): the
+        char's index carries its confidence, the remaining probability
+        mass goes to index 0 (underspecified)."""
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        L = int(lens.max()) if len(lens) else 0
+        X = np.zeros((len(texts), L, self.voc_size), dtype=np.float32)
+        for b, (t, cs) in enumerate(zip(texts, confs)):
+            for j, ch in enumerate(t):
+                p = float(cs[j]) if cs is not None and j < len(cs) else 1.0
+                X[b, j, self.vocab.get(ch, UNK_IDX)] = p
+                X[b, j, UNK_IDX] += 1.0 - p
+        return X, lens
+
+    def encode_confmat(
+        self, confmats: list[list[list[tuple[str, float]]]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encoding 3 (confusion network, seq2seq.py:956-958,1052-1082
+        semantics): each chunk is a list of (alternative, prob); chunks
+        are zero-padded to their longest alternative, and each
+        alternative adds its probability at its chars' positions
+        (shorter alternatives leave the padding mass at index 0)."""
+        lens = []
+        rows: list[list[np.ndarray]] = []
+        for cm in confmats:
+            line_rows: list[np.ndarray] = []
+            for chunk in cm:
+                width = max((len(alt) for alt, _ in chunk), default=0)
+                block = np.zeros((width, self.voc_size), dtype=np.float32)
+                for alt, p in chunk:
+                    for k in range(width):
+                        idx = self.vocab.get(alt[k], UNK_IDX) if k < len(alt) else UNK_IDX
+                        block[k, idx] += p
+                line_rows.extend(block)
+            rows.append(line_rows)
+            lens.append(len(line_rows))
+        L = max(lens) if lens else 0
+        X = np.zeros((len(confmats), L, self.voc_size), dtype=np.float32)
+        for b, line_rows in enumerate(rows):
+            for j, r in enumerate(line_rows):
+                X[b, j, :] = r
+        return X, np.array(lens, dtype=np.int64)
+
     # --- encoder (M5/M6) ----------------------------------------------------
 
     def encode(self, X: np.ndarray) -> np.ndarray:
@@ -166,6 +211,23 @@ class Seq2SeqModel:
         if not texts:
             return [], [], []
         X, lens = self.encode_onehot(texts)
+        return self._decode_greedy(X, lens)
+
+    def decode_greedy_prob(self, texts: list[str], confs: list[list[float]]):
+        """Greedy decode over the prob-line encoding (per-char conf)."""
+        if not texts:
+            return [], [], []
+        X, lens = self.encode_problines(texts, confs)
+        return self._decode_greedy(X, lens)
+
+    def decode_greedy_confmat(self, confmats):
+        """Greedy decode over confusion-network input."""
+        if not confmats:
+            return [], [], []
+        X, lens = self.encode_confmat(confmats)
+        return self._decode_greedy(X, lens)
+
+    def _decode_greedy(self, X: np.ndarray, lens: np.ndarray):
         B, L, V = X.shape
         enc = self.encode(X)
         enc_proj = enc @ self.att_We

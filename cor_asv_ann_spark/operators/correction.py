@@ -113,7 +113,10 @@ def make_correct_lines_udf(corrector: CorrectorFn):
             if pdf.empty:
                 continue
             in_lines = pdf["texts"].map(lambda ts: "".join(ts))
-            res = corrector(in_lines)
+            if getattr(corrector, "wants_conf", False) and "conf" in pdf.columns:
+                res = corrector(in_lines, pdf["conf"])
+            else:
+                res = corrector(in_lines)
             out_lines, out_probs = res[0], res[1]
             paths = res[2] if len(res) > 2 else None  # model Viterbi paths
             rows_out, rows_conf, rows_cer = [], [], []
@@ -192,12 +195,15 @@ def correct_pipeline(
     corrector: CorrectorFn | None = None,
     n_buckets: int | None = None,
     bucket_filter: list[int] | None = None,
+    conf_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end: spans table in → corrected spans table out.
 
     ``n_buckets``/``bucket_filter`` expose the checkpoint grain: when set,
     only documents whose salt bucket is in the filter are processed
-    (checkpoint.resume drives this)."""
+    (checkpoint.resume drives this). ``conf_df`` is an optional per-line
+    confidence channel (doc_id, line_no, conf: array<float>) consumed by
+    conf-aware correctors (prob-line encoding, SURVEY §1.2)."""
     flat = spans_with_line_no(spans_df)
     if n_buckets:
         flat = flat.withColumn("bucket", salt_bucket(F.col("doc_id"), n_buckets))
@@ -205,6 +211,8 @@ def correct_pipeline(
             flat = flat.filter(F.col("bucket").isin(bucket_filter))
         flat = flat.drop("bucket")
     lines = assemble_lines(flat)
+    if conf_df is not None:
+        lines = lines.join(conf_df, ["doc_id", "line_no"], "left")
     corrected = correct_lines(lines, corrector)
     return reassemble(corrected)
 
