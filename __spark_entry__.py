@@ -551,6 +551,42 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_align_vote(spark, sf_dir):
+    """N-way align + majority vote across annotation groups (J1+J2+F10,
+    the cor-asv-ann-align capability) — UDF alignment, rows-only."""
+    from cor_asv_ann_spark.operators.align_groups import align_vote_groups
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    gt = synth_spans(spark, sf_dir, noisy=False)
+    noisy = synth_spans(spark, sf_dir, noisy=True)
+    return align_vote_groups([gt, noisy, gt], method="majority").orderBy(
+        "doc_id", "line_no"
+    )
+
+
+def q_join_groups(spark, sf_dir):
+    """TextEquiv concatenation across groups with provenance (U3, the
+    cor-asv-ann-join capability) — spans synthesis is UDF, rows-only."""
+    from cor_asv_ann_spark.operators.align_groups import join_group_texts
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    gt = synth_spans(spark, sf_dir, noisy=False)
+    noisy = synth_spans(spark, sf_dir, noisy=True)
+    return join_group_texts([gt, noisy]).select(
+        "doc_id", "line_no", "n_alternatives"
+    ).orderBy("doc_id", "line_no")
+
+
+def q_correct_glyph_level(spark, sf_dir):
+    """Glyph-grain correction (P1 level select) — rows-only."""
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    noisy = synth_spans(spark, sf_dir, noisy=True, level="glyph")
+    out = correct_pipeline(noisy)
+    return out.select("doc_id", F.size("spans").alias("n_spans"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicates via hyperplane buckets
     (float-boundary bucket bits → rows-only)."""
@@ -610,6 +646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_topk": q_confusion_topk,
         "wer_corpus": q_wer_corpus,
         "dedup_simhash": q_dedup_simhash,
+        "align_vote": q_align_vote,
+        "join_groups": q_join_groups,
+        "correct_glyph_level": q_correct_glyph_level,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ann_lsh": q_knn_ann_lsh,
     }

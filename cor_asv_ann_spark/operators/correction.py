@@ -148,8 +148,23 @@ def make_correct_lines_udf(corrector: CorrectorFn):
     return correct
 
 
-def correct_lines(lines: DataFrame, corrector: CorrectorFn | None = None) -> DataFrame:
+def correct_lines(
+    lines: DataFrame,
+    corrector: CorrectorFn | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Arrow-batched correction. The line frame is explicitly
+    repartitioned to a compute-sized partition count first: AQE's
+    size-based coalescing is right for relational stages but collapses
+    the tiny line rows into a handful of partitions, serializing the
+    CPU-heavy inference UDF (measured: 10 partitions on a 32-core box,
+    zero speedup 8→32 cores). An explicit REPARTITION_BY_NUM on the
+    salted line key is honored by AQE — this is the north-star 'salted
+    partitions' exchange."""
     corrector = corrector or charmap_corrector
+    if n_partitions is None:
+        n_partitions = lines.sparkSession.sparkContext.defaultParallelism * 2
+    lines = lines.repartition(n_partitions, "doc_id", "line_no")
     return lines.mapInPandas(make_correct_lines_udf(corrector), schema=CORRECTED_LINE_SCHEMA)
 
 

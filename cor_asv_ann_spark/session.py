@@ -25,6 +25,11 @@ def build_session(
 ) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    # one BLAS thread per Python worker: the numpy inference GEMMs are
+    # small, and N workers × multithreaded OpenBLAS oversubscribes the
+    # box (measured: local[32] slower than local[8] without this)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app)

@@ -38,9 +38,14 @@ WORDS_PER_LINE = 7
 MEDIA_EVERY = 4  # a media span after every 4th line
 
 
-def build_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]]:
+def build_spans(
+    doc_id: str, text: str, level: str = "word"
+) -> list[tuple[str, str, str | None, int]]:
     """Pure: document text → ordered interleaved span list
-    (kind, text, media_ref, offset)."""
+    (kind, text, media_ref, offset). ``level`` picks the hierarchy grain
+    (the reference corrects at line/word/glyph level, transcode.py
+    `textequiv_level`): 'word' emits word spans; 'glyph' emits one span
+    per character of each word."""
     words = text.split()
     spans: list[tuple[str, str, str | None, int]] = []
     off = 0
@@ -57,7 +62,11 @@ def build_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]
             # sprinkle non-ASCII GT so NFC/grapheme paths are exercised
             if _key_int(f"{doc_id}:w{i + wi}") % 7 == 0:
                 w = w.replace("a", "ä")
-            emit("word", w, f"xy://{doc_id}/{off}")
+            if level == "glyph":
+                for g in w:
+                    emit("glyph", g, f"xy://{doc_id}/{off}")
+            else:
+                emit("word", w, f"xy://{doc_id}/{off}")
             if wi + 1 < len(line_words):
                 emit("space", " ")
         emit("newline", "\n")
@@ -67,7 +76,9 @@ def build_spans(doc_id: str, text: str) -> list[tuple[str, str, str | None, int]
     return spans
 
 
-def synth_spans(spark: SparkSession, sf_dir: str, noisy: bool = False) -> DataFrame:
+def synth_spans(
+    spark: SparkSession, sf_dir: str, noisy: bool = False, level: str = "word"
+) -> DataFrame:
     """documents.parquet → spans table (GT or reversibly-degraded)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     # the fixture is a single parquet file → one input split; spread the
@@ -79,12 +90,14 @@ def synth_spans(spark: SparkSession, sf_dir: str, noisy: bool = False) -> DataFr
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
-                spans = build_spans(doc_id, text)
+                spans = build_spans(doc_id, text, level=level)
                 if noisy:
                     spans = [
                         (
                             k,
-                            degrade_reversible(t, f"{doc_id}:{o}") if k == "word" else t,
+                            degrade_reversible(t, f"{doc_id}:{o}")
+                            if k in ("word", "glyph")
+                            else t,
                             r,
                             o,
                         )
