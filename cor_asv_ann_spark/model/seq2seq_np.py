@@ -238,12 +238,16 @@ class Seq2SeqModel:
         feed = np.zeros((B, V), dtype=np.float32)  # start symbol = zero vector
         done = np.zeros(B, dtype=bool)
         center = np.zeros(B, dtype=np.int64)
-        outs: list[list[str]] = [[] for _ in range(B)]
-        probs: list[list[float]] = [[] for _ in range(B)]
-        aligns: list[list[np.ndarray]] = [[] for _ in range(B)]
         max_steps = int(2 * lens.max()) + 1 if L else 0
         eos_idx = self.vocab[EOS]
-        for _ in range(max_steps):
+        caps = 2 * np.maximum(lens, 1)  # per-line step cap
+        rows = np.arange(B)
+        # step-major recording (fully vectorized; per-line assembly after)
+        rec_idx = np.full((max_steps, B), -1, dtype=np.int64)
+        rec_prob = np.zeros((max_steps, B), dtype=np.float64)
+        rec_attn = np.zeros((max_steps, B, L), dtype=np.float32)
+        n_steps = 0
+        for step in range(max_steps):
             x = feed @ self.embed
             for d in range(self.depth):
                 h[d], c[d] = self.dec_stack[d].step(x, h[d], c[d])
@@ -253,36 +257,34 @@ class Seq2SeqModel:
             p = _softmax(logits, axis=-1)
             p[:, UNK_IDX] = 0.0  # argmax excludes underspecified index 0
             nxt = p.argmax(axis=-1)
-            for b in range(B):
-                if done[b]:
-                    continue
-                # per-line step cap: 2 × source length (then force EOS)
-                if len(outs[b]) + 1 >= 2 * max(int(lens[b]), 1):
-                    outs[b].append(EOS)
-                    probs[b].append(float(p[b, eos_idx]))
-                    aligns[b].append(a[b, : lens[b]].copy())
-                    done[b] = True
-                    continue
-                ch = self.inv_vocab.get(int(nxt[b]), "")
-                outs[b].append(ch)
-                probs[b].append(float(p[b, nxt[b]]))
-                aligns[b].append(a[b, : lens[b]].copy())
-                if nxt[b] == eos_idx:
-                    done[b] = True
+            nxt = np.where(step + 1 >= caps, eos_idx, nxt)  # force EOS at cap
+            active = ~done
+            rec_idx[step, active] = nxt[active]
+            rec_prob[step, active] = p[rows, nxt][active]
+            rec_attn[step, active, :] = a[active, :]
+            done |= active & (nxt == eos_idx)
+            n_steps = step + 1
             center = np.minimum(a.argmax(axis=1) + 1, np.maximum(lens - 1, 0))
             feed = p  # softmax feedback
             if done.all():
                 break
+        idx_to_char = {i: ch for ch, i in self.vocab.items()}
+        outs, probs, aligns = [], [], []
         for b in range(B):
-            if not outs[b] or outs[b][-1] != EOS:
-                outs[b].append(EOS)
-                probs[b].append(1.0)
-                aligns[b].append(aligns[b][-1] if aligns[b] else np.ones(max(lens[b], 1)) / max(lens[b], 1))
-        return (
-            ["".join(o) for o in outs],
-            probs,
-            [np.stack(al) if al else np.zeros((0, 0)) for al in aligns],
-        )
+            col = rec_idx[:n_steps, b]
+            valid = col >= 0
+            chars = [idx_to_char.get(int(i), "") for i in col[valid]]
+            pr = rec_prob[:n_steps, b][valid].tolist()
+            al = rec_attn[:n_steps, b, : lens[b]][valid]
+            if not chars or chars[-1] != EOS:
+                chars.append(EOS)
+                pr.append(1.0)
+                tail = al[-1:] if len(al) else np.ones((1, max(lens[b], 1))) / max(lens[b], 1)
+                al = np.concatenate([al, tail]) if len(al) else tail
+            outs.append("".join(chars))
+            probs.append(pr)
+            aligns.append(al)
+        return outs, probs, aligns
 
     # --- beam decode (M4, simplified faithful cost model) ---------------------
 
@@ -386,45 +388,65 @@ def viterbi_path(soft_alignment: np.ndarray, min_score: float | None = None) -> 
     """Best monotonic path through an (out_len, in_len) attention matrix →
     {input_offset: output_offset} map (the reference's `_alignment2path`,
     transcode.py:279-349, incl. the sparsity gate: cells below uniform
-    probability are skipped)."""
+    probability contribute no gain).
+
+    Row-vectorized DP (this was the pipeline's hottest loop — ~75% of
+    UDF CPU as a per-cell Python loop): moves are diag/up (from the
+    previous row) and left (within the row). Left-chains fold into a
+    running max via the cumulative-gain trick
+        D[o,i] = G[i] + max_{k≤i}(bp[k] − G[k−1]),
+    where bp = max(D[o−1,·], D[o−1,·−1]) and G = cumsum(gain[o]),
+    computed with np.maximum.accumulate; per-row argmax indices give
+    exact backtracking."""
     O, I = soft_alignment.shape
     if O == 0 or I == 0:
         return {0: 0}
     if min_score is None:
         min_score = 1.0 / max(I, 1)
-    logp = np.log(np.maximum(soft_alignment, 1e-12))
-    # DP over (out, in): moves are (o+1, i) stay, (o+1, i+1) diag, (o, i+1) skip
-    NEG = -1e18
-    D = np.full((O, I), NEG)
-    back = np.zeros((O, I), dtype=np.int8)  # 0 diag, 1 up(out only), 2 left(in only)
-    D[0, 0] = logp[0, 0]
-    for o in range(O):
-        for i in range(I):
-            if o == 0 and i == 0:
-                continue
-            best, op = NEG, 0
-            if o > 0 and i > 0 and D[o - 1, i - 1] > best:
-                best, op = D[o - 1, i - 1], 0
-            if o > 0 and D[o - 1, i] > best:
-                best, op = D[o - 1, i], 1
-            if i > 0 and D[o, i - 1] > best:
-                best, op = D[o, i - 1], 2
-            gain = logp[o, i] if soft_alignment[o, i] > min_score else 0.0
-            D[o, i] = best + gain
-            back[o, i] = op
-    # walk back collecting i→o at each advance of i
+    # below-threshold cells are *unlikely*, not free: floor them hard
+    # (the reference's sparsity gate skips them as ~impossible)
+    logp = np.where(
+        soft_alignment > min_score,
+        np.log(np.maximum(soft_alignment, 1e-12)),
+        np.log(1e-12),
+    )
+    NEG = -1e15
+    idx = np.arange(I)
+    D_prev = np.full(I, NEG)
+    # row 0: can only be reached by left moves from (0,0)
+    G0 = np.cumsum(logp[0])
+    D_prev[:] = G0
+    diag_choice = np.zeros((O, I), dtype=bool)  # True: diag beat up at k
+    from_k = np.zeros((O, I), dtype=np.int32)  # left-chain origin per cell
+    for o in range(1, O):
+        shifted = np.concatenate(([NEG], D_prev[:-1]))  # D[o-1, i-1]
+        diag = shifted >= D_prev
+        bp = np.where(diag, shifted, D_prev)
+        diag_choice[o] = diag
+        G = np.cumsum(logp[o])
+        Gm1 = np.concatenate(([0.0], G[:-1]))
+        A = bp - Gm1
+        M = np.maximum.accumulate(A)
+        K = np.maximum.accumulate(np.where(A >= M, idx, 0))
+        from_k[o] = K
+        D_prev = G + M
+    # backtrack
     path = {I: O}
     o, i = O - 1, I - 1
     pairs = [(i, o)]
-    while o > 0 or i > 0:
-        op = back[o, i]
-        if op == 0:
-            o, i = o - 1, i - 1
-        elif op == 1:
-            o -= 1
-        else:
+    while o > 0:
+        k = int(from_k[o][i])
+        while i > k:  # left moves within row o
             i -= 1
+            pairs.append((i, o))
+        if diag_choice[o][k] and k > 0:
+            o, i = o - 1, k - 1
+        else:
+            o, i = o - 1, k
         pairs.append((i, o))
+    while i > 0:  # leftover left moves in row 0
+        i -= 1
+        pairs.append((i, 0))
     for i_, o_ in pairs:
         path[i_] = min(path.get(i_, o_), o_)
     path.setdefault(0, 0)
