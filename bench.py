@@ -49,7 +49,7 @@ def make_scaling_corrector(spark):
     from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel, make_vocab
 
     vocab = make_vocab(set("abcdefghijklmnopqrstuvwxyz0123456789äöüſꝛʒ .-\n"))
-    model = Seq2SeqModel(vocab, width=64, depth=2, seed=42)
+    model = Seq2SeqModel(vocab, width=96, depth=2, seed=42)
     return make_model_corrector(spark, model)
 
 
