@@ -551,6 +551,17 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_compare_runs(spark, sf_dir):
+    """scripts/compare.py analogue: line-level diff of two span tables
+    (rows-only: spans synthesis is UDF-side)."""
+    from cor_asv_ann_spark.operators.train_charmap import compare_runs
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    gt = synth_spans(spark, sf_dir, noisy=False)
+    noisy = synth_spans(spark, sf_dir, noisy=True)
+    return compare_runs(gt, noisy, "gt", "ocr").orderBy("doc_id", "line_no")
+
+
 def q_align_vote(spark, sf_dir):
     """N-way align + majority vote across annotation groups (J1+J2+F10,
     the cor-asv-ann-align capability) — UDF alignment, rows-only."""
@@ -646,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_topk": q_confusion_topk,
         "wer_corpus": q_wer_corpus,
         "dedup_simhash": q_dedup_simhash,
+        "compare_runs": q_compare_runs,
         "align_vote": q_align_vote,
         "join_groups": q_join_groups,
         "correct_glyph_level": q_correct_glyph_level,
