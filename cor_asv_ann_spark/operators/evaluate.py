@@ -108,26 +108,29 @@ def with_adjusted_distance(
 
 def cer_aggregate(scored: DataFrame, *group_cols: str) -> DataFrame:
     """Corpus/grouped CER with mean + length-weighted variance of
-    per-line rates — the distributed Chan accumulator (A1)."""
+    per-line rates — the distributed Chan accumulator (A1).
+
+    Single pass: the weighted variance decomposes into weighted moments
+    E_w[r²] − E_w[r]² (rates live in [0,1], so the catastrophic-
+    cancellation concern that motivates Chan's update for raw data does
+    not bite; Spark's partial+final aggregation supplies the same
+    mergeability). One hash aggregation — no second scan, no join."""
     rate = (F.col("dist") / F.col("length")).alias("rate")
     base = scored.filter(F.col("length") > 0).select(*group_cols, "dist", "length", rate)
-    # length-weighted mean and variance of per-line rates
     agg = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_lines"),
         F.sum("dist").alias("sum_dist"),
         F.sum("length").alias("sum_len"),
         (F.sum(F.col("rate") * F.col("length")) / F.sum("length")).alias("mean_rate"),
+        (F.sum(F.col("rate") * F.col("rate") * F.col("length")) / F.sum("length")).alias("_m2"),
     )
-    var = base.join(agg.select(*group_cols, "mean_rate"), list(group_cols)) if group_cols else base.crossJoin(
-        agg.select("mean_rate")
-    )
-    var = var.groupBy(*group_cols).agg(
-        (F.sum(F.pow(F.col("rate") - F.col("mean_rate"), 2) * F.col("length")) / F.sum("length")).alias(
-            "var_rate"
+    return (
+        agg.withColumn(
+            "var_rate", F.greatest(F.col("_m2") - F.col("mean_rate") * F.col("mean_rate"), F.lit(0.0))
         )
+        .drop("_m2")
+        .withColumn("cer", F.try_divide(F.col("sum_dist"), F.col("sum_len")))
     )
-    out = agg.join(var, list(group_cols)) if group_cols else agg.crossJoin(var)
-    return out.withColumn("cer", F.try_divide(F.col("sum_dist"), F.col("sum_len")))
 
 
 def cer_rollup(scored: DataFrame, pair_col: str, page_col: str) -> DataFrame:
