@@ -69,6 +69,47 @@ def run_stream_to_memory(agg: DataFrame, name: str) -> None:
     q.stop()
 
 
+def streaming_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Stateful streaming exact-dedup: only the FIRST document bearing
+    each content fingerprint survives, across micro-batches — the
+    streaming twin of operators/dedup.exact_dedup, keyed state via
+    applyInPandasWithState (one tiny state row per fingerprint).
+
+    At warehouse scale the state store is RocksDB-backed and the key
+    space is the md5 fingerprint (uniform, no skew by construction)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.withColumn(
+        "fp", F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    )
+
+    def keep_first(key, pdfs, state: GroupState):
+        seen = state.exists
+        out = []
+        for pdf in pdfs:
+            if not seen and len(pdf):
+                first = pdf.sort_values(id_col).head(1)
+                out.append(first)
+                seen = True
+        if seen and not state.exists:
+            state.update((1,))
+        if out:
+            yield pd.concat(out)[["fp", id_col]]
+
+    return hashed.groupBy("fp").applyInPandasWithState(
+        keep_first,
+        outputStructType=f"fp string, {id_col} string",
+        stateStructType="n int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_correction(
     spark: SparkSession,
     spans_stream: DataFrame,

@@ -89,3 +89,47 @@ def test_decode_stub_contract():
     assert np.array_equal(v, decode_stub(b"x" * 16, "image"))
     with pytest.raises(NotImplementedError):
         decode_stub(b"x", "hologram")
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """First-seen-wins across micro-batches: the duplicate arriving in a
+    LATER batch must be dropped by the keyed state."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from cor_asv_ann_spark.streaming.events import streaming_dedup
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a1", "a2"], "text": ["hello world", "unique one"]}),
+        schema=schema,
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["b1", "b2"], "text": ["Hello  WORLD", "another doc"]}),
+        schema=schema,
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    # 'Hello  WORLD' normalizes to the same fingerprint as 'hello world'
+    assert "a2" in rows and "b2" in rows
+    kept_hello = {"a1", "b1"} & rows
+    assert len(kept_hello) == 1  # exactly one copy of the duplicate survives
+    assert len(rows) == 3
