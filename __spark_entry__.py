@@ -192,7 +192,9 @@ def q_line_join_eval(spark, sf_dir):
     return j.agg(
         F.count(F.lit(1)).alias("n_gt"),
         F.count("ocr_text").alias("n_matched"),
-        F.sum(F.when(F.col("ocr_text").isNull(), 1).otherwise(0)).alias("n_missing"),
+        F.sum(F.when(F.col("ocr_text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
     )
 
 
@@ -259,7 +261,10 @@ def q_sessionize(spark, sf_dir):
     )
     return (
         sess.groupBy("user_id")
-        .agg(F.max("sess_no").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.max("sess_no").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .orderBy("user_id")
     )
 
@@ -352,8 +357,8 @@ def q_token_count(spark, sf_dir):
         d.select("lang", token_count(F.col("text")).alias("n_tok"), F.length("text").alias("n_ch"))
         .groupBy("lang")
         .agg(
-            F.sum("n_tok").alias("sum_tokens"),
-            F.sum("n_ch").alias("sum_chars"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.sum("n_ch").cast("long").alias("sum_chars"),
             F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
         )
         .orderBy("lang")
@@ -458,7 +463,10 @@ def q_bpe_token_count(spark, sf_dir):
     return (
         d.select("lang", bpe_ish_token_count(F.col("text")).alias("n_sub"))
         .groupBy("lang")
-        .agg(F.sum("n_sub").alias("sum_subtokens"), F.round(F.avg("n_sub"), 6).alias("avg_subtokens"))
+        .agg(
+            F.sum("n_sub").cast("long").alias("sum_subtokens"),
+            F.round(F.avg("n_sub"), 6).alias("avg_subtokens"),
+        )
         .orderBy("lang")
     )
 
@@ -480,14 +488,18 @@ def q_topk_per_group(spark, sf_dir):
 def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type counts as columns."""
     e = _events(spark, sf_dir)
-    types = [r.event_type for r in e.select("event_type").distinct().orderBy("event_type").collect()]
-    return (
+    # explicit pivot values: keeps the query a single job (no driver-side
+    # distinct-collect) and pins the output schema at any scale
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
         e.groupBy("user_id")
         .pivot("event_type", types)
         .agg(F.count(F.lit(1)))
         .na.fill(0)
-        .orderBy("user_id")
     )
+    return pivoted.select(
+        "user_id", *[F.col(t).cast("long").alias(t) for t in types]
+    ).orderBy("user_id")
 
 
 # --- UDF / pipeline operators (rows-only checks) ----------------------------
@@ -735,7 +747,7 @@ def oracle_sql() -> dict[str, str]:
             WITH gt AS (SELECT doc_id, text AS gt_text FROM documents WHERE doc_id % 2 = 0),
             ocr AS (SELECT doc_id, {_DEGRADE_SQL} AS ocr_text FROM documents WHERE doc_id % 3 = 0)
             SELECT count(*) AS n_gt, count(ocr_text) AS n_matched,
-                   sum(CASE WHEN ocr_text IS NULL THEN 1 ELSE 0 END) AS n_missing
+                   CAST(sum(CASE WHEN ocr_text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
             FROM gt LEFT JOIN ocr USING (doc_id)
         """,
         "union_provenance": """
@@ -768,7 +780,7 @@ def oracle_sql() -> dict[str, str]:
                      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
               FROM g)
-            SELECT user_id, max(sess_no) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(max(sess_no) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id
         """,
         "train_val_split": """
@@ -878,7 +890,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT lang,
-                   sum(n_tok) AS sum_tokens, sum(n_ch) AS sum_chars,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_ch) AS BIGINT) AS sum_chars,
                    round(avg(n_tok), 6) AS avg_tokens
             FROM (
               SELECT lang,
@@ -959,7 +972,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tot LEFT JOIN iv ON tot.lang = iv.lang ORDER BY tot.lang
         """,
         "bpe_token_count": """
-            SELECT lang, sum(n_sub) AS sum_subtokens,
+            SELECT lang, CAST(sum(n_sub) AS BIGINT) AS sum_subtokens,
                    round(avg(n_sub), 6) AS avg_subtokens
             FROM (
               SELECT lang,
@@ -977,11 +990,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id ORDER BY user_id
         """,
     }

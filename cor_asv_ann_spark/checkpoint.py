@@ -56,7 +56,7 @@ def run_resumable(
     from .operators.correction import (
         assemble_lines,
         correct_lines,
-        correct_pipeline,
+        reassemble,
         salt_bucket,
         spans_with_line_no,
     )
@@ -68,11 +68,13 @@ def run_resumable(
             continue
         t0 = time.time()
         bucketed = spans_df.filter(salt_bucket(F.col("doc_id"), n_buckets) == b)
-        out = correct_pipeline(bucketed, corrector=corrector)
-        out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
-        # bucket metrics from the corrected line stats (second tiny pass on
-        # the bucket only; at scale this is fused via the metrics sink)
-        lines = correct_lines(assemble_lines(spans_with_line_no(bucketed)), corrector)
+        # correction (the dominant UDF/inference stage) runs EXACTLY ONCE
+        # per bucket: the corrected-line frame is persisted, and both the
+        # reassembled output write and the lineage metrics derive from it
+        lines = correct_lines(
+            assemble_lines(spans_with_line_no(bucketed)), corrector
+        ).persist()
+        reassemble(lines).write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
         m = lines.agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_lines"),
@@ -82,6 +84,7 @@ def run_resumable(
             ),
             F.avg("line_cer").alias("mean_cer"),
         ).collect()[0]
+        lines.unpersist()
         wall = time.time() - t0
         append_lineage_row(
             spark,

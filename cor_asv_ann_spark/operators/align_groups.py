@@ -64,9 +64,9 @@ def align_vote_groups(
             if pdf.empty:
                 continue
             texts, confs, counts = [], [], []
-            for _, row in pdf.iterrows():
-                seqs = [row[f"t{g}"] for g in range(n)]
-                seqs = [s for s in seqs if isinstance(s, str) and s]
+            # column zip, not iterrows (hot loop of the vote operator)
+            for row_seqs in zip(*(pdf[f"t{g}"] for g in range(n))):
+                seqs = [s for s in row_seqs if isinstance(s, str) and s]
                 t, c = align_and_vote(seqs, method=method)
                 texts.append(t)
                 confs.append(c)

@@ -22,20 +22,32 @@ from ..schema import CORRECTED_LINE_SCHEMA
 
 
 def resegment_line(
-    kinds: list[str], texts: list[str], refs: list[str | None], confs: list[float]
-) -> tuple[list[str], list[str], list[str | None], list[float]]:
+    kinds: list[str],
+    texts: list[str],
+    refs: list[str | None],
+    confs: list[float],
+    in_texts: list[str] | None = None,
+) -> tuple[list[str], list[str], list[str | None], list[float], list[str]]:
     """Pure per-line rewrite: merge around emptied whitespace, split at
-    introduced inner whitespace."""
+    introduced inner whitespace. The original input texts are rewritten
+    in lock-step so every output array stays position-aligned (merged
+    spans carry the concatenated inputs; spans introduced by a split
+    carry ''), preserving the CORRECTED_LINE_SCHEMA parallel-array
+    invariant for downstream consumers that zip texts with out_texts."""
+    if in_texts is None:
+        in_texts = texts
     out_k: list[str] = []
     out_t: list[str] = []
     out_r: list[str | None] = []
     out_c: list[float] = []
+    out_in: list[str] = []
 
-    def emit(k, t, r, c):
+    def emit(k, t, r, c, src):
         out_k.append(k)
         out_t.append(t)
         out_r.append(r)
         out_c.append(c)
+        out_in.append(src)
 
     i = 0
     n = len(kinds)
@@ -45,6 +57,9 @@ def resegment_line(
             # deleted space → merge previous word with next word
             out_t[-1] = out_t[-1] + texts[i + 1]
             out_c[-1] = (out_c[-1] + confs[i + 1]) / 2.0
+            # the merged span's INPUT is the concatenation of all three
+            # originals (word + swallowed space + word)
+            out_in[-1] = out_in[-1] + in_texts[i] + in_texts[i + 1]
             # geometry of the merge spans both words (reference merges
             # Coords); keep the left anchor, record the join
             i += 2
@@ -54,21 +69,29 @@ def resegment_line(
             parts = t.split(" ")
             total = max(len(t), 1)
             pos = 0
+            first = True
             for j, p in enumerate(parts):
                 if p:
                     # proportional geometry split (reference splits
                     # Coords/@points by character share)
                     frac = f"{pos}-{pos + len(p)}/{total}"
-                    emit("word", p, f"{r}#split[{frac}]" if r else r, c)
+                    emit(
+                        "word",
+                        p,
+                        f"{r}#split[{frac}]" if r else r,
+                        c,
+                        in_texts[i] if first else "",
+                    )
+                    first = False
                 pos += len(p)
                 if j + 1 < len(parts):
-                    emit("space", " ", None, 1.0)
+                    emit("space", " ", None, 1.0, "")
                     pos += 1
             i += 1
             continue
-        emit(k, t, r, c)
+        emit(k, t, r, c, in_texts[i])
         i += 1
-    return out_k, out_t, out_r, out_c
+    return out_k, out_t, out_r, out_c, out_in
 
 
 def resegment_lines(corrected: DataFrame) -> DataFrame:
@@ -81,25 +104,38 @@ def resegment_lines(corrected: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for _, row in pdf.iterrows():
-                k, t, r, c = resegment_line(
-                    list(row["kinds"]),
-                    list(row["out_texts"]),
-                    list(row["media_refs"]),
-                    list(row["out_confs"]),
+            # column zip, not iterrows: ~10× less per-row overhead in the
+            # Arrow batch hot loop (same pattern as correction.py)
+            for doc_id, line_no, kinds, texts, refs, offsets, out_texts, out_confs, cer in zip(
+                pdf["doc_id"],
+                pdf["line_no"],
+                pdf["kinds"],
+                pdf["texts"],
+                pdf["media_refs"],
+                pdf["offsets"],
+                pdf["out_texts"],
+                pdf["out_confs"],
+                pdf["line_cer"],
+            ):
+                k, t, r, c, src = resegment_line(
+                    list(kinds),
+                    list(out_texts),
+                    list(refs),
+                    list(out_confs),
+                    in_texts=list(texts),
                 )
-                base = int(row["offsets"][0]) if len(row["offsets"]) else 0
+                base = int(offsets[0]) if len(offsets) else 0
                 rows.append(
                     {
-                        "doc_id": row["doc_id"],
-                        "line_no": row["line_no"],
+                        "doc_id": doc_id,
+                        "line_no": line_no,
                         "kinds": k,
-                        "texts": list(row["texts"]),
+                        "texts": src,
                         "media_refs": r,
                         "offsets": list(range(base, base + len(k))),
                         "out_texts": t,
                         "out_confs": c,
-                        "line_cer": row["line_cer"],
+                        "line_cer": cer,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in CORRECTED_LINE_SCHEMA.fields])

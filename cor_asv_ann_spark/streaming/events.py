@@ -89,17 +89,23 @@ def streaming_dedup(
     )
 
     def keep_first(key, pdfs, state: GroupState):
-        seen = state.exists
-        out = []
+        if state.exists:
+            # key already surfaced in a prior micro-batch: drop everything
+            for _ in pdfs:
+                pass
+            return
+        # a key's rows within one micro-batch may span several Arrow
+        # chunks — track the running min across ALL chunks so the
+        # survivor is chunking-independent
+        best = None
         for pdf in pdfs:
-            if not seen and len(pdf):
-                first = pdf.sort_values(id_col).head(1)
-                out.append(first)
-                seen = True
-        if seen and not state.exists:
+            if len(pdf):
+                cand = pdf.sort_values(id_col).head(1)
+                if best is None or cand[id_col].iloc[0] < best[id_col].iloc[0]:
+                    best = cand
+        if best is not None:
             state.update((1,))
-        if out:
-            yield pd.concat(out)[["fp", id_col]]
+            yield best[["fp", id_col]]
 
     return hashed.groupBy("fp").applyInPandasWithState(
         keep_first,
@@ -125,7 +131,11 @@ def streaming_correction(
         if batch_df.isEmpty():
             return
         out = correct_pipeline(batch_df, corrector=corrector)
-        out.write.mode("append").parquet(f"{out_dir}/epoch={epoch_id}")
+        # foreachBatch is at-least-once: a replayed epoch must OVERWRITE
+        # its own epoch=<id> directory (idempotent sink), never append —
+        # append would duplicate rows on retry after a crash between the
+        # parquet write and the checkpoint commit
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return (
         spans_stream.writeStream.foreachBatch(process)

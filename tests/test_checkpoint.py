@@ -41,3 +41,37 @@ def test_resume_skips_completed_buckets(spark, sf_small, tmp_path):
     rows = spark.read.parquet(lin).collect()
     assert all(r.wall_sec > 0 and r.n_docs > 0 for r in rows)
     assert all(r.docs_per_sec is not None for r in rows)
+
+
+def test_checkpoint_single_execution(spark, sf_small, tmp_path):
+    """The correction UDF must run EXACTLY ONCE per line per bucket —
+    output write and lineage metrics both derive from the persisted
+    corrected-lines frame (a second inference pass doubles the dominant
+    cost of the whole job at scale)."""
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        charmap_corrector,
+        spans_with_line_no,
+    )
+
+    noisy = synth_spans(spark, sf_small, noisy=True).cache()
+    n_lines = assemble_lines(spans_with_line_no(noisy)).count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_corrector(texts):
+        acc.add(len(texts))
+        return charmap_corrector(texts)
+
+    run_resumable(
+        spark,
+        noisy,
+        str(tmp_path / "out"),
+        str(tmp_path / "lineage"),
+        run_id="single",
+        n_buckets=2,
+        corrector=counting_corrector,
+    )
+    assert acc.value == n_lines, (
+        f"corrector saw {acc.value} lines for {n_lines} input lines — "
+        "correction executed more than once per bucket"
+    )

@@ -21,31 +21,43 @@ from cor_asv_ann_spark.sources.lines import (
 
 def test_resegment_merge():
     # deleted space between words → merge
-    k, t, r, c = resegment_line(
+    k, t, r, c, src = resegment_line(
         ["word", "space", "word", "newline"],
         ["fo", "", "o", "\n"],
         ["a", None, "b", None],
         [0.9, 1.0, 0.7, 1.0],
+        in_texts=["fo", " ", "o", "\n"],
     )
     assert t == ["foo", "\n"]
     assert k == ["word", "newline"]
     assert r[0] == "a"
     assert c[0] == pytest.approx(0.8)
+    # input texts stay position-aligned: the merged span carries the
+    # concatenated originals, so "".join(src) preserves the input line
+    assert src == ["fo o", "\n"]
+    assert len(src) == len(k) == len(t) == len(c)
 
 
 def test_resegment_split():
     # introduced inner space → split with proportional geometry anchors
-    k, t, r, c = resegment_line(
-        ["word", "newline"], ["ab cd", "\n"], ["g", None], [0.6, 1.0]
+    k, t, r, c, src = resegment_line(
+        ["word", "newline"], ["ab cd", "\n"], ["g", None], [0.6, 1.0],
+        in_texts=["abcd", "\n"],
     )
     assert t == ["ab", " ", "cd", "\n"]
     assert k == ["word", "space", "word", "newline"]
     assert r[0].startswith("g#split[") and r[2].startswith("g#split[")
+    # introduced spans carry '' inputs; original rides on the first part
+    assert src == ["abcd", "", "", "\n"]
+    assert len(src) == len(k)
 
 
 def test_resegment_noop():
-    k, t, r, c = resegment_line(["word", "newline"], ["ok", "\n"], ["g", None], [1.0, 1.0])
+    k, t, r, c, src = resegment_line(
+        ["word", "newline"], ["ok", "\n"], ["g", None], [1.0, 1.0]
+    )
     assert t == ["ok", "\n"] and k == ["word", "newline"]
+    assert src == ["ok", "\n"]
 
 
 SPANS = [

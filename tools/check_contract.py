@@ -72,6 +72,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             failures.append(name)
             continue
+        # the driver's value hash is TYPE-sensitive (BIGINT vs HUGEINT vs
+        # int32 all hash differently) — flag any dtype drift before coercing
+        dtype_drift = [
+            (c, str(a[c].dtype), str(b[c].dtype))
+            for c in a.columns
+            if str(a[c].dtype) != str(b[c].dtype)
+        ]
+        if dtype_drift:
+            print(f"WARN  {name}: dtype drift (driver hash would miss): {dtype_drift}")
+            failures.append(name)
         try:
             b2 = b.astype(a.dtypes.to_dict(), errors="ignore")
         except Exception:
