@@ -611,24 +611,30 @@ def q_correct_glyph_level(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicates via hyperplane buckets
+    """Embedding-cosine near-duplicates via multi-band hyperplane LSH
     (float-boundary bucket bits → rows-only)."""
     from cor_asv_ann_spark.operators.dedup import embedding_near_dups
 
     # the fixture embeddings are near-orthogonal random unit vectors
-    # (max pairwise cosine ≈ 0.4), so the "near-dup" threshold is set
-    # low enough to be non-vacuous on this data
+    # (max pairwise cosine ≈ 0.4): the "near-dup" threshold is set low
+    # enough to be non-vacuous, and n_bits low / n_bands high so recall
+    # stays ≥0.9 at that weak similarity (p_agree ≈ 0.58 per plane)
     e = _emb(spark, sf_dir)
-    return embedding_near_dups(e, threshold=0.25, n_buckets=8).orderBy("id_a", "id_b")
+    return embedding_near_dups(
+        e, threshold=0.25, n_bands=8, n_bits=2, max_bucket=1000
+    ).orderBy("id_a", "id_b")
 
 
 def q_knn_ann_lsh(spark, sf_dir):
-    """Approximate ANN via hyperplane-LSH buckets (approximate → rows-only)."""
+    """Approximate ANN via multi-band hyperplane LSH (approximate →
+    rows-only)."""
     from cor_asv_ann_spark.operators.similarity import lsh_topk
 
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, n_bits=2).orderBy("query_id", "rank")
+    return lsh_topk(e, q, k=5, n_bands=8, n_bits=2, max_bucket=1000).orderBy(
+        "query_id", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

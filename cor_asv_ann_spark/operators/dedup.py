@@ -239,46 +239,41 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_buckets: int = 8,
+    n_bands: int = 8,
+    n_bits: int = 8,
+    max_bucket: int | None = 1000,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup: random-hyperplane LSH bucket (sign of
-    projections on seeded pseudo-random planes) then exact cosine within
-    bucket. Vectors are unit-norm in the fixture; cosine = dot."""
-    dims = F.size(F.col(vec_col))
-    # deterministic pseudo-planes: sign of sin(dim_index * seed) — cheap,
-    # seedable, engine-independent
-    def bucket_bit(seed: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.transform(F.sequence(F.lit(1), dims), lambda i: F.sin(i * F.lit(float(seed)))),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
+    """Embedding-cosine near-dup via multi-band hyperplane LSH: k
+    independent band tables (seeded Gaussian planes, vectorized numpy
+    projection), per-band (band, code) equi-self-join with a
+    ``max_bucket`` degeneracy cap, candidates OR-ed across bands, then
+    exact cosine (JVM dot) ≥ threshold. Same bounded-bucket discipline
+    as ``lsh_candidates``/``simhash_near_pairs`` — the join never
+    degenerates into all-pairs: a band bucket of k rows emits at most
+    max_bucket·(max_bucket−1)/2 pairs. Per-band scan reduction is
+    2^n_bits; recall grows with n_bands (OR over independent tables).
+    Vectors are unit-norm in the fixture; cosine = dot."""
+    from .similarity import banded, dot
 
-    n_bits = max(1, n_buckets.bit_length() - 1)
-    bucket = sum(bucket_bit(s + 1) * (2**s) for s in range(n_bits))
-    bucketed = emb.withColumn("bucket", bucket)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
+    bb = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket)
+    a, b = bb.alias("a"), bb.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn("cosine", F.round(dot, 6))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(dot(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            "cosine",
-        )
+        .select("id_a", "id_b", "cosine")
     )
