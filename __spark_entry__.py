@@ -158,9 +158,24 @@ def q_worst_lines(spark, sf_dir):
 
 
 def q_confusion_bigrams(spark, sf_dir):
-    """A2/T1-shaped: top-30 character bigrams (hash agg + bounded top-k)."""
+    """A2/T1-shaped: top-30 character bigrams (hash agg + bounded top-k).
+
+    The bigram expansion splits the text into a char array ONCE and zips
+    adjacent slices — linear per document. (The obvious
+    transform(sequence(...), i -> substring(text, i, 2)) is quadratic:
+    each substring() re-scans the UTF-8 string from the start to find
+    codepoint i — measured 2× slower at sf0.1 and unbounded on long
+    documents.)"""
     d = _docs(spark, sf_dir)
-    bigrams = F.expr("transform(sequence(1, length(text)-1), i -> substring(text, i, 2))")
+    bigrams = F.expr(
+        """
+        CASE WHEN length(text) >= 2 THEN
+          zip_with(slice(split(text, ''), 1, length(text)-1),
+                   slice(split(text, ''), 2, length(text)-1),
+                   (a, b) -> concat(a, b))
+        ELSE array() END
+        """
+    )
     return (
         d.select(F.explode(bigrams).alias("bg"))
         .groupBy("bg")
