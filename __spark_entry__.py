@@ -625,6 +625,28 @@ def q_correct_glyph_level(spark, sf_dir):
     return out.select("doc_id", F.size("spans").alias("n_spans"))
 
 
+def q_correct_h5_model(spark, sf_dir):
+    """S7/M2-M6: the flagship pipeline driven by a model loaded from the
+    reference's Keras HDF5 save format (pure-Python reader, broadcast
+    weights, Arrow-batched inference) — rows-only (model inference is
+    not SQL-expressible). Limited to 32 docs: seq2seq decode cost, not
+    coverage, dominates here."""
+    import tempfile
+
+    from cor_asv_ann_spark.model.corrector import make_model_corrector
+    from cor_asv_ann_spark.model.keras_graph import RefSeq2Seq, write_keras_fixture
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/fixture.h5"
+        write_keras_fixture(path, width=16, depth=2, seed=7)
+        model = RefSeq2Seq.load_h5(path)
+    noisy = synth_spans(spark, sf_dir, noisy=True).limit(32)
+    out = correct_pipeline(noisy, corrector=make_model_corrector(spark, model))
+    return out.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicates via multi-band hyperplane LSH
     (float-boundary bucket bits → rows-only)."""
@@ -694,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_vote": q_align_vote,
         "join_groups": q_join_groups,
         "correct_glyph_level": q_correct_glyph_level,
+        "correct_h5_model": q_correct_h5_model,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ann_lsh": q_knn_ann_lsh,
     }

@@ -22,7 +22,12 @@ from .seq2seq_np import Seq2SeqModel, viterbi_path
 _MODEL_CACHE: dict[int, Seq2SeqModel] = {}
 
 
-def _model_from_state(state: dict) -> Seq2SeqModel:
+def _model_from_state(state: dict):
+    if state.get("kind") == "ref":
+        # reference-graph model loaded from a Keras HDF5 file
+        from .keras_graph import RefSeq2Seq
+
+        return RefSeq2Seq.from_state(state)
     m = Seq2SeqModel(
         state["vocab"], width=state["width"], depth=state["depth"], window=state["window"]
     )
@@ -37,7 +42,9 @@ def _model_from_state(state: dict) -> Seq2SeqModel:
     return m
 
 
-def model_state(model: Seq2SeqModel) -> dict:
+def model_state(model) -> dict:
+    if hasattr(model, "state"):  # RefSeq2Seq (Keras-h5-loaded graph)
+        return model.state()
     return {
         "vocab": model.vocab,
         "width": model.width,
@@ -49,7 +56,7 @@ def model_state(model: Seq2SeqModel) -> dict:
 
 def make_model_corrector(
     spark,
-    model: Seq2SeqModel,
+    model,
     beam: bool = False,
     beam_width: int = 4,
     use_conf: bool = False,

@@ -1,0 +1,401 @@
+"""Faithful numpy re-implementation of the reference's Keras inference
+graph, fed by its published HDF5 model files.
+
+The reference persists models as Keras 2.x ``save_weights`` HDF5 plus a
+``config`` group (width/depth/stateful/…/mapping —
+/root/reference/ocrd_cor_asv_ann/lib/seq2seq.py:1121-1162). This module
+loads that exact layout through the pure-Python reader in ``hdf5.py``
+and runs the reference's inference graph forward-only:
+
+* ``char_input_projection`` — tied Dense embedding, no bias
+  (seq2seq.py:239-243); output = softmax(h @ kernel.T)
+  (seq2seq.py:371-381, Press & Wolf weight tying).
+* ``encoder_lstm_1`` — Bidirectional LSTM, concat merge; the BACKWARD
+  final states initialise decoder layer 1 (seq2seq.py:275-281).
+* ``encoder_lstm_n`` (n≥2) — unidirectional stack, optional residual
+  adds (seq2seq.py:285-292), optional bridge Dense on the states
+  (seq2seq.py:300-301).
+* ``decoder_lstm_n`` — LSTM stack; the TOP layer is
+  RNN(DenseAnnotationAttention(LSTMCell)) with input_mode=concatenate /
+  output_mode=cell_output (seq2seq.py:345-357):
+  e = exp(tanh(h_prev·W_a + b_UW + u)·v_a + b_v), u = attention_dense
+  applied to the encoder output once per line, local window
+  |prev_alignment·steps + 1 − step| < 5
+  (lib/attention.py:530-575, 593-609).
+* greedy decode: full-distribution (soft) feedback, argmax excluding
+  index 0, per-line freeze after '\\n', step cap 2×batch_length
+  (seq2seq.py:1230-1286).
+
+Keras LSTM gate order is (i, f, c, o); recurrent_activation=sigmoid as
+the reference configures (seq2seq.py:270-272). The stored bias already
+contains unit_forget_bias, so no +1 is applied here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hdf5 import H5Group, read_h5
+from .seq2seq_np import _sigmoid, _softmax
+
+EOS = "\n"
+
+
+def write_keras_fixture(
+    path: str,
+    chars: str = "abcdefghijklmnopqrstuvwxyz .,-",
+    width: int = 16,
+    depth: int = 2,
+    seed: int = 7,
+) -> dict:
+    """Write a seeded random model in the reference's exact HDF5 layout
+    (Keras 2.x save_weights groups + the config group of
+    seq2seq.py:1128-1141) so the loader is exercised against the real
+    file structure without shipping a multi-MB trained model."""
+    from .hdf5 import write_h5
+
+    rng = np.random.default_rng(seed)
+    mapping = [0] + [ord(c) for c in sorted(set(chars) | {EOS})]
+    V, W, D = len(mapping), width, depth
+
+    def mat(*shape):
+        fan = shape[0] if len(shape) > 1 else 1
+        return (rng.standard_normal(shape) * 0.5 / np.sqrt(max(fan, 1))).astype(np.float32)
+
+    def lstm(in_dim):
+        return {
+            "kernel:0": mat(in_dim, 4 * W),
+            "recurrent_kernel:0": mat(W, 4 * W),
+            "bias:0": np.zeros(4 * W, dtype=np.float32),
+        }
+
+    enc_dim = 2 * W if D == 1 else W
+    tree: dict = {
+        "config": {
+            "width": np.array(W),
+            "depth": np.array(D),
+            "stateful": np.array(False),
+            "residual_connections": np.array(False),
+            "deep_bidirectional_encoder": np.array(False),
+            "bridge_dense": np.array(False),
+            "mapping": np.array(mapping, dtype=np.uint32),
+        },
+        "char_input_projection": {"char_embedding": {"kernel:0": mat(V, W)}},
+        "encoder_lstm_1": {
+            "encoder_lstm_1": {
+                "forward_encoder_lstm_1": lstm(W),
+                "backward_encoder_lstm_1": lstm(W),
+            }
+        },
+        "attention_dense": {"dense_1": {"kernel:0": mat(enc_dim, W)}},
+    }
+    layer_names = ["char_input_projection", "encoder_lstm_1"]
+    for n in range(2, D + 1):
+        tree[f"encoder_lstm_{n}"] = {f"encoder_lstm_{n}": lstm(2 * W if n == 2 else W)}
+        layer_names.append(f"encoder_lstm_{n}")
+    for n in range(1, D + 1):
+        body = lstm(W + enc_dim if n == D else W)
+        if n == D:
+            body.update(
+                {
+                    "W_a:0": mat(W, W),
+                    "v_a:0": mat(W, 1),
+                    "b_UW:0": np.zeros(W, dtype=np.float32),
+                    "b_v:0": np.zeros(1, dtype=np.float32),
+                }
+            )
+        tree[f"decoder_lstm_{n}"] = {f"decoder_lstm_{n}": body}
+        layer_names.append(f"decoder_lstm_{n}")
+    layer_names.append("attention_dense")
+
+    def weight_names(layer: str) -> np.ndarray:
+        inner = tree[layer]
+
+        def walk(node, prefix):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    yield from walk(v, f"{prefix}{k}/")
+                else:
+                    yield f"{prefix}{k}"
+
+        return np.array([n.encode() for n in walk(inner, "")])
+
+    attrs = {
+        "": {
+            "layer_names": np.array([n.encode() for n in layer_names]),
+            "backend": b"tensorflow",
+            "keras_version": b"2.3.1",
+        }
+    }
+    for layer in layer_names:
+        attrs[layer] = {"weight_names": weight_names(layer)}
+    write_h5(path, tree, attrs)
+    return {"mapping": mapping, "width": W, "depth": D}
+
+
+class _LSTM:
+    """Keras-layout LSTM parameters: kernel (in,4H), recurrent (H,4H),
+    bias (4H); gate order i,f,c,o."""
+
+    def __init__(self, kernel: np.ndarray, recurrent: np.ndarray, bias: np.ndarray):
+        self.W = kernel.astype(np.float32)
+        self.U = recurrent.astype(np.float32)
+        self.b = bias.astype(np.float32)
+        self.hid = recurrent.shape[0]
+
+    def step(self, x, h, c):
+        z = x @ self.W + h @ self.U + self.b
+        H = self.hid
+        i = _sigmoid(z[:, :H])
+        f = _sigmoid(z[:, H : 2 * H])
+        g = np.tanh(z[:, 2 * H : 3 * H])
+        o = _sigmoid(z[:, 3 * H :])
+        c2 = f * c + i * g
+        h2 = o * np.tanh(c2)
+        return h2, c2
+
+    def run(self, X, reverse: bool = False):
+        """X (B,T,in) → (sequence (B,T,H), final h, final c). For
+        reverse=True the output sequence is re-reversed to input order
+        (Keras Bidirectional semantics)."""
+        B, T, _ = X.shape
+        h = np.zeros((B, self.hid), dtype=np.float32)
+        c = np.zeros((B, self.hid), dtype=np.float32)
+        out = np.zeros((B, T, self.hid), dtype=np.float32)
+        steps = range(T - 1, -1, -1) if reverse else range(T)
+        for t in steps:
+            h, c = self.step(X[:, t, :], h, c)
+            out[:, t, :] = h
+        return out, h, c
+
+
+def _layer_arrays(group: H5Group) -> dict[str, np.ndarray]:
+    """All datasets under a Keras layer group keyed by their full
+    relative path (e.g. 'forward_encoder_lstm_1/kernel:0')."""
+    return {path: ds.data for path, ds in group.visit_datasets()}
+
+
+def _find(arrays: dict[str, np.ndarray], basename: str, prefix: str = "") -> np.ndarray:
+    hits = [
+        v for k, v in arrays.items() if k.rsplit("/", 1)[-1] == basename and prefix in k
+    ]
+    if len(hits) != 1:
+        raise KeyError(f"expected 1 weight {basename} (prefix '{prefix}'), got {len(hits)}")
+    return hits[0]
+
+
+class RefSeq2Seq:
+    """Forward-only reference graph. Construct via :meth:`load_h5`."""
+
+    def __init__(self, config: dict, layers: dict[str, dict[str, np.ndarray]]):
+        def scalar(v):
+            return np.asarray(v).reshape(-1)[0] if np.ndim(v) else v
+
+        self.width = int(scalar(config["width"]))
+        self.depth = int(scalar(config["depth"]))
+        self.residual = bool(scalar(config.get("residual_connections", False)))
+        self.bridge = bool(scalar(config.get("bridge_dense", False)))
+        if bool(scalar(config.get("deep_bidirectional_encoder", False))):
+            raise NotImplementedError("deep_bidirectional_encoder graphs")
+        self.window = 5  # fixed in the reference (seq2seq.py:349)
+        mapping = config["mapping"]  # uint32 codepoints, index 0 = ''
+        self.c_i = {(chr(c) if c > 0 else ""): i for i, c in enumerate(mapping)}
+        self.i_c = {i: (chr(c) if c > 0 else "") for i, c in enumerate(mapping)}
+        self.voc_size = len(mapping)
+
+        self.embed = _find(layers["char_input_projection"], "kernel:0").astype(np.float32)
+        enc1 = layers["encoder_lstm_1"]
+        self.enc_fwd = _LSTM(
+            _find(enc1, "kernel:0", "forward"),
+            _find(enc1, "recurrent_kernel:0", "forward"),
+            _find(enc1, "bias:0", "forward"),
+        )
+        self.enc_bwd = _LSTM(
+            _find(enc1, "kernel:0", "backward"),
+            _find(enc1, "recurrent_kernel:0", "backward"),
+            _find(enc1, "bias:0", "backward"),
+        )
+        self.enc_stack = [
+            _LSTM(
+                _find(layers[f"encoder_lstm_{n}"], "kernel:0"),
+                _find(layers[f"encoder_lstm_{n}"], "recurrent_kernel:0"),
+                _find(layers[f"encoder_lstm_{n}"], "bias:0"),
+            )
+            for n in range(2, self.depth + 1)
+        ]
+        self.bridges = []
+        if self.bridge:
+            for n in range(1, self.depth + 1):
+                bh, bc = layers[f"bridge_h_{n}"], layers[f"bridge_c_{n}"]
+                self.bridges.append(
+                    (
+                        _find(bh, "kernel:0"), _find(bh, "bias:0"),
+                        _find(bc, "kernel:0"), _find(bc, "bias:0"),
+                    )
+                )
+        self.dec_stack = [
+            _LSTM(
+                _find(layers[f"decoder_lstm_{n}"], "kernel:0"),
+                _find(layers[f"decoder_lstm_{n}"], "recurrent_kernel:0"),
+                _find(layers[f"decoder_lstm_{n}"], "bias:0"),
+            )
+            for n in range(1, self.depth + 1)
+        ]
+        top = layers[f"decoder_lstm_{self.depth}"]
+        self.W_a = _find(top, "W_a:0").astype(np.float32)
+        self.v_a = _find(top, "v_a:0").astype(np.float32).reshape(-1)
+        self.b_UW = _find(top, "b_UW:0").astype(np.float32)
+        self.b_v = float(_find(top, "b_v:0").reshape(-1)[0])
+        self.att_dense = _find(layers["attention_dense"], "kernel:0").astype(np.float32)
+
+    # --- loading -------------------------------------------------------------
+
+    @classmethod
+    def load_h5(cls, path: str) -> "RefSeq2Seq":
+        f = read_h5(path)
+        return cls.from_h5_group(f)
+
+    @classmethod
+    def from_h5_group(cls, f: H5Group) -> "RefSeq2Seq":
+        g = f
+        if "layer_names" not in f.attrs and "model_weights" in f:
+            g = f["model_weights"]  # whole-model save; weights nested
+        cfg_grp = f["config"] if "config" in f else g["config"]
+        config = {
+            name: ds.data for name, ds in cfg_grp.members.items() if hasattr(ds, "data")
+        }
+        layer_names = [
+            b.decode() if isinstance(b, bytes) else str(b)
+            for b in g.attrs["layer_names"]
+        ]
+        layers = {name: _layer_arrays(g[name]) for name in layer_names if name in g}
+        return cls(config, layers)
+
+    def state(self) -> dict:
+        """Broadcastable state (numpy only)."""
+        return {"kind": "ref", "config_weights": self.__dict__.copy()}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "RefSeq2Seq":
+        m = cls.__new__(cls)
+        m.__dict__.update(state["config_weights"])
+        return m
+
+    # --- forward -------------------------------------------------------------
+
+    def encode_onehot(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        L = int(lens.max()) if len(lens) else 0
+        X = np.zeros((len(texts), L, self.voc_size), dtype=np.float32)
+        for b, t in enumerate(texts):
+            for j, ch in enumerate(t):
+                X[b, j, self.c_i.get(ch, 0)] = 1.0
+        return X, lens
+
+    def encode(self, X: np.ndarray):
+        """(B,T,V) → (encoder output (B,T,enc_dim), [(h,c)] per layer)."""
+        E = X @ self.embed
+        fwd, _, _ = self.enc_fwd.run(E)
+        bwd, bh, bc = self.enc_bwd.run(E, reverse=True)
+        out = np.concatenate([fwd, bwd], axis=-1)
+        states = [(bh, bc)]  # backward states init decoder layer 1
+        prev = out
+        for n, layer in enumerate(self.enc_stack):
+            seq, sh, sc = layer.run(prev)
+            if self.residual and n >= 1:
+                seq = seq + prev
+            prev = seq
+            out = seq
+            states.append((sh, sc))
+        if self.bridge:
+            states = [
+                (
+                    np.tanh(h @ Wh + bh_),
+                    np.tanh(c @ Wc + bc_),
+                )
+                for (h, c), (Wh, bh_, Wc, bc_) in zip(states, self.bridges)
+            ]
+        return out, states
+
+    def decode_greedy_batch(self, texts: list[str]):
+        """Reference decode_batch_greedy semantics (seq2seq.py:1215-1286):
+        returns (output strings, per-char probs, per-line soft-alignment
+        matrices). Strings that never emit EOS within 2·L steps get EOS
+        appended so downstream whitespace redistribution sees a line end
+        (the reference leaves them unterminated and logs a warning)."""
+        if not texts:
+            return [], [], []
+        X, lens = self.encode_onehot(texts)
+        B, T, V = X.shape
+        if T == 0:
+            return [EOS] * B, [[1.0]] * B, [np.ones((1, 1), dtype=np.float32)] * B
+        enc_out, states = self.encode(X)
+        u = enc_out @ self.att_dense  # decoder-independent annotation half
+        h = [s[0].copy() for s in states]
+        c = [s[1].copy() for s in states]
+        prev_a = np.zeros((B, T), dtype=np.float32)
+        feed = np.zeros((B, V), dtype=np.float32)  # start-of-sequence
+        steps_idx = np.arange(T, dtype=np.float32)
+        done = np.zeros(B, dtype=bool)
+        rows = np.arange(B)
+        max_steps = 2 * T
+        rec_idx = np.full((max_steps, B), -1, dtype=np.int64)
+        rec_prob = np.zeros((max_steps, B), dtype=np.float64)
+        rec_attn = np.zeros((max_steps, B, T), dtype=np.float32)
+        n_steps = 0
+        for step in range(max_steps):
+            x = feed @ self.embed
+            layer_in = x
+            for n in range(self.depth - 1):
+                hn, cn = self.dec_stack[n].step(layer_in, h[n], c[n])
+                h[n], c[n] = hn, cn
+                layer_in = hn + layer_in if (self.residual and n > 0) else hn
+            # attention (computed from the PREVIOUS top cell state)
+            w = h[-1] @ self.W_a + self.b_UW  # (B, W)
+            e = np.exp(np.tanh(w[:, None, :] + u) @ self.v_a + self.b_v)  # (B,T)
+            if self.window > 0:
+                timestep = prev_a @ steps_idx + 1.0  # (B,)
+                local = np.abs(timestep[:, None] - steps_idx[None, :]) < self.window
+                e = e * local
+            a = e / np.maximum(e.sum(axis=1, keepdims=True), 1e-30)
+            ctx = (a[:, :, None] * enc_out).sum(axis=1)
+            cell_in = np.concatenate([layer_in, ctx], axis=-1)
+            h[-1], c[-1] = self.dec_stack[-1].step(cell_in, h[-1], c[-1])
+            out = h[-1] + layer_in if (self.residual and self.depth > 1) else h[-1]
+            p = _softmax(out @ self.embed.T, axis=-1)
+            nxt = p[:, 1:].argmax(axis=-1) + 1  # exclude index 0
+            active = ~done
+            rec_idx[step, active] = nxt[active]
+            rec_prob[step, active] = p[rows, nxt][active]
+            rec_attn[step, active, :] = a[active, :]
+            emitted_eos = np.array([self.i_c.get(int(i), "") == EOS for i in nxt])
+            done |= active & emitted_eos
+            n_steps = step + 1
+            feed = p  # soft feedback (reference: decoder_input_data = scores)
+            prev_a = a
+            if done.all():
+                break
+        outs, probs, aligns = [], [], []
+        for b in range(B):
+            col = rec_idx[:n_steps, b]
+            valid = col >= 0
+            chars = [self.i_c.get(int(i), "") for i in col[valid]]
+            pr = rec_prob[:n_steps, b][valid].tolist()
+            al = rec_attn[:n_steps, b, : max(lens[b], 1)][valid]
+            # the reference graph has NO attention mask over batch padding
+            # (no Masking layer at inference), so a short line's alignment
+            # mass can sit partly on padded positions; renormalize the
+            # slice over the real input (uniform for all-padding rows) so
+            # the Viterbi segmentation downstream sees a distribution
+            if al.size:
+                sums = al.sum(axis=1, keepdims=True)
+                al = np.where(sums > 1e-9, al / np.maximum(sums, 1e-9), 1.0 / al.shape[1])
+            if not chars or chars[-1] != EOS:
+                chars.append(EOS)
+                pr.append(1.0)
+                tail = al[-1:] if len(al) else np.ones((1, max(lens[b], 1))) / max(lens[b], 1)
+                al = np.concatenate([al, tail]) if len(al) else tail
+            outs.append("".join(chars))
+            probs.append(pr)
+            aligns.append(al)
+        return outs, probs, aligns

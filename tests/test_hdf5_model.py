@@ -1,0 +1,162 @@
+"""HDF5 model import (S7 gap from round 1): pure-Python reader/writer
+of the reference's Keras save format, the faithful reference-graph
+numpy forward pass, and its end-to-end use in the Spark pipeline.
+
+The fixture h5 replicates the exact file layout of
+/root/reference/ocrd_cor_asv_ann/lib/seq2seq.py:1121-1141 (Keras 2.x
+save_weights groups + config group with width/depth/flags/mapping)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cor_asv_ann_spark.model.hdf5 import read_h5, write_h5
+from cor_asv_ann_spark.model.keras_graph import RefSeq2Seq, write_keras_fixture
+
+
+# --------------------------------------------------------------------------
+# hdf5 layer
+
+
+def test_hdf5_roundtrip_dtypes_and_attrs(tmp_path):
+    p = str(tmp_path / "t.h5")
+    rng = np.random.default_rng(0)
+    tree = {
+        "g": {
+            "f32": rng.standard_normal((7, 5)).astype(np.float32),
+            "f64": rng.standard_normal(11),
+            "i64_scalar": np.array(42),
+            "u32": rng.integers(0, 9e4, 13).astype(np.uint32),
+            "flag": np.array(True),
+            "deep": {"nested": np.arange(6, dtype=np.int64).reshape(2, 3)},
+        }
+    }
+    attrs = {
+        "": {"layer_names": np.array([b"g"]), "backend": b"tensorflow"},
+        "g": {"weight_names": np.array([b"deep/nested"])},
+        "g/f32": {"note": b"per-dataset attr"},
+    }
+    write_h5(p, tree, attrs)
+    f = read_h5(p)
+    assert np.array_equal(f["g/f32"][()], tree["g"]["f32"])
+    assert np.array_equal(f["g/f64"][()], tree["g"]["f64"])
+    assert int(f["g/i64_scalar"][()]) == 42
+    assert np.array_equal(f["g/u32"][()], tree["g"]["u32"])
+    assert bool(f["g/flag"][()]) is True
+    assert np.array_equal(f["g/deep/nested"][()], tree["g"]["deep"]["nested"])
+    assert f.attrs["backend"] == b"tensorflow"
+    assert f["g"].attrs["weight_names"][0] == b"deep/nested"
+    assert f["g/f32"].attrs["note"] == b"per-dataset attr"
+    assert "g" in f and "g/deep/nested" in f and "g/nope" not in f
+
+
+def test_hdf5_many_members_sorted_lookup(tmp_path):
+    """Symbol-table entries must be retrievable for wide groups (SNOD
+    holds sorted entries; Keras layers easily exceed a handful)."""
+    p = str(tmp_path / "wide.h5")
+    tree = {f"layer_{i:02d}": {"kernel:0": np.full(3, i, dtype=np.float32)} for i in range(40)}
+    write_h5(p, tree)
+    f = read_h5(p)
+    for i in range(40):
+        assert f[f"layer_{i:02d}/kernel:0"][()][0] == i
+
+
+# --------------------------------------------------------------------------
+# keras graph
+
+
+@pytest.fixture(scope="module")
+def h5_model(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("model") / "fixture.h5")
+    info = write_keras_fixture(p, width=16, depth=2, seed=7)
+    return p, info
+
+
+def test_load_config_and_shapes(h5_model):
+    p, info = h5_model
+    m = RefSeq2Seq.load_h5(p)
+    assert m.width == 16 and m.depth == 2
+    assert m.voc_size == len(info["mapping"])
+    assert m.embed.shape == (m.voc_size, 16)
+    assert m.enc_fwd.W.shape == (16, 64) and m.enc_bwd.U.shape == (16, 64)
+    assert m.enc_stack[0].W.shape == (32, 64)  # layer 2 consumes 2W
+    assert m.dec_stack[-1].W.shape == (32, 64)  # top cell: concat(x, ctx)
+    assert m.W_a.shape == (16, 16) and m.v_a.shape == (16,)
+    assert m.att_dense.shape == (16, 16)
+    # '\n' (EOS) must be in the decoded mapping
+    assert "\n" in m.c_i
+
+
+def test_decode_pinned_and_deterministic(h5_model):
+    p, _ = h5_model
+    m = RefSeq2Seq.load_h5(p)
+    texts = ["hello world\n", "abc\n"]
+    outs, probs, aligns = m.decode_greedy_batch(texts)
+    # pinned outputs for the seeded fixture (catches any silent change in
+    # reader byte-decoding, weight mapping, or forward-pass semantics)
+    assert outs == ["\n", "jppppppppppppppppppppppp\n"]
+    for t, o, pr, al in zip(texts, outs, probs, aligns):
+        assert o.endswith("\n")
+        assert len(pr) == len(o)
+        assert al.shape == (len(o), len(t))
+        assert np.allclose(al.sum(axis=1), 1.0, atol=1e-4)
+    # fresh load decodes identically
+    outs2, _, _ = RefSeq2Seq.load_h5(p).decode_greedy_batch(texts)
+    assert outs2 == outs
+    # broadcastable state roundtrip (what the Spark corrector ships)
+    outs3, _, _ = RefSeq2Seq.from_state(m.state()).decode_greedy_batch(texts)
+    assert outs3 == outs
+
+
+def test_depth1_bidirectional_context(h5_model, tmp_path):
+    """depth=1: the attended context is the 2W bidirectional encoder
+    output; the top cell kernel must be (W+2W, 4W)."""
+    p = str(tmp_path / "d1.h5")
+    write_keras_fixture(p, width=16, depth=1, seed=3)
+    m = RefSeq2Seq.load_h5(p)
+    assert m.dec_stack[0].W.shape == (48, 64)
+    outs, _, aligns = m.decode_greedy_batch(["test line\n"])
+    assert outs[0].endswith("\n") and aligns[0].shape[1] == 10
+
+
+def test_greedy_semantics_reference_parity(h5_model):
+    """Loop semantics pinned to seq2seq.py:1242-1258: index 0 never
+    emitted, per-line freeze after EOS, step cap 2×batch_length."""
+    p, _ = h5_model
+    m = RefSeq2Seq.load_h5(p)
+    texts = ["abcdefgh\n", "zz\n"]
+    outs, probs, _ = m.decode_greedy_batch(texts)
+    for o in outs:
+        assert "" not in [c for c in o]  # no index-0 char
+        assert len(o) <= 2 * 9 + 1  # batch_length cap (+ appended EOS)
+        assert o.count("\n") == 1 and o.endswith("\n")
+
+
+def test_ref_model_drives_spark_pipeline(spark, sf_small, h5_model):
+    """End-to-end: the h5-loaded model corrects a real span table through
+    correct_pipeline (broadcast state, Arrow batches, Viterbi-path
+    segmentation) — the round-1 'architecture proven, model missing'
+    gap closed."""
+    from cor_asv_ann_spark.model.corrector import make_model_corrector
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    p, _ = h5_model
+    model = RefSeq2Seq.load_h5(p)
+    spans = synth_spans(spark, sf_small, noisy=True).limit(8)
+    corrector = make_model_corrector(spark, model)
+    out = correct_pipeline(spans, corrector=corrector)
+    rows = out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    collected = rows.collect()
+    assert len(collected) > 0
+    # media spans ride through untouched; word spans exist
+    kinds = {r.kind for r in collected}
+    assert "word" in kinds and "newline" in kinds
+    for r in collected:
+        if r.kind == "media":
+            assert r.text == "" and r.media_ref.startswith("img://")
