@@ -82,11 +82,14 @@ def make_model_corrector(
     def corrector(texts: pd.Series, confs: pd.Series | None = None):
         m = _model()
         if beam:
-            outs = []
-            for t in texts:
-                out, _cost = m.decode_beam(t, beam_width=beam_width)
-                outs.append(out)
-            return pd.Series(outs, index=texts.index), None, None
+            # batched-encoder + hypothesis-parallel beam; alignments come
+            # back so beam mode keeps the Viterbi segmentation path too
+            outs, probs, aligns = m.decode_beam_batch(list(texts), beam_width=beam_width)
+            paths = [
+                viterbi_path(al[:, : len(t)] if al.size else al)
+                for t, al in zip(texts, aligns)
+            ]
+            return pd.Series(outs, index=texts.index), probs, paths
         if use_conf and confs is not None:
             outs, probs, aligns = m.decode_greedy_prob(
                 list(texts), [list(c) if c is not None else None for c in confs]

@@ -286,7 +286,7 @@ class Seq2SeqModel:
             aligns.append(al)
         return outs, probs, aligns
 
-    # --- beam decode (M4, simplified faithful cost model) ---------------------
+    # --- beam decode (M4, full reference semantics) ----------------------------
 
     def decode_beam(
         self,
@@ -295,63 +295,109 @@ class Seq2SeqModel:
         rel_threshold: float = 0.2,
         max_expansions: int = 15,
     ) -> tuple[str, float]:
-        """Single-line beam search. Cost = Σ -log p; candidates are kept
-        when p ≥ rel_threshold · p_best (reference's relative-threshold
-        pruning) capped at max_expansions; ranking uses the prospective
-        cost cum + mean_step_cost·|len − src_len| (pro_cost analogue).
-        Returns (best text incl. EOS, total cost)."""
+        """Single-line beam (compat wrapper): best final's (text incl.
+        EOS, cumulative cost)."""
         X, lens = self.encode_onehot([text])
         enc = self.encode(X)
-        enc_proj = enc @ self.att_We
-        L = X.shape[1]
-        mask = np.ones((1, L), dtype=bool)
-        eos_idx = self.vocab[EOS]
-        src_len = len(text)
+        Lb = max(int(lens[0]), 1)
+        finals = self._beam_line(
+            enc[:, :Lb],
+            X[0, :Lb],
+            src_len=int(lens[0]),
+            batch_cap=beam_width,
+            beam_threshold=rel_threshold,
+            beam_width_in=max_expansions,
+            beam_width_out=1,
+        )
+        out, _probs, cost, _align = finals[0]
+        return out, cost
 
-        # hypothesis: (cum_cost, out_chars, h, c, feed, finished)
-        h0 = [np.zeros((1, self.width), dtype=np.float32) for _ in self.dec_stack]
-        c0 = [np.zeros((1, self.width), dtype=np.float32) for _ in self.dec_stack]
-        beams = [(0.0, [], h0, c0, np.zeros((1, self.voc_size), dtype=np.float32))]
-        finals: list[tuple[float, list[str]]] = []
-        for step in range(2 * max(src_len, 1) + 1):
-            candidates = []
-            for cum, out, h, c, feed in beams:
-                x = feed @ self.embed
-                hs, cs = [], []
-                for d in range(self.depth):
-                    hd, cd = self.dec_stack[d].step(x, h[d], c[d])
-                    hs.append(hd)
-                    cs.append(cd)
-                    x = hd
-                ctx, _ = self._attend(x, enc_proj, enc, mask, None)
-                p = _softmax(self._project(x, ctx), axis=-1)[0]
-                p[UNK_IDX] = 0.0
-                best_p = p.max()
-                order = np.argsort(-p)[:max_expansions]
-                for idx in order:
-                    if p[idx] < rel_threshold * best_p or p[idx] <= 0:
-                        break
-                    ch = self.inv_vocab.get(int(idx), "")
-                    cost = cum - float(np.log(max(p[idx], 1e-12)))
-                    if idx == eos_idx:
-                        finals.append((cost, out + [ch]))
-                    else:
-                        pv = np.zeros((1, self.voc_size), dtype=np.float32)
-                        pv[0] = p
-                        candidates.append((cost, out + [ch], hs, cs, pv))
-            if not candidates:
-                break
-            mean_cost = lambda cand: cand[0] / max(len(cand[1]), 1)  # noqa: E731
-            pro = lambda cand: cand[0] + mean_cost(cand) * abs(len(cand[1]) - src_len)  # noqa: E731
-            candidates.sort(key=pro)
-            beams = candidates[:beam_width]
-            if finals and min(f[0] for f in finals) < pro(beams[0]):
-                break
-        if not finals:
-            best = min(beams, key=lambda cand: cand[0])
-            return "".join(best[1]) + EOS, best[0]
-        cost, out = min(finals, key=lambda f: f[0])
-        return "".join(out), cost
+    def decode_beam_batch(
+        self,
+        texts: list[str],
+        beam_width: int = 4,
+        beam_width_out: int = 1,
+        rejection_threshold: float = 0.3,
+    ):
+        """Beamed analogue of decode_greedy_batch: the encoder runs ONCE
+        on the whole padded batch (as the reference does before looping
+        decode_sequence_beam per line, seq2seq.py:1310-1320), then each
+        line's beam expands with hypothesis-parallel decoder steps.
+        Returns (texts, probs, soft alignments) of each line's best
+        final — same contract as greedy, so beam mode keeps the Viterbi
+        segmentation path."""
+        if not texts:
+            return [], [], []
+        X, lens = self.encode_onehot(texts)
+        enc = self.encode(X)
+        outs, probs, aligns = [], [], []
+        for b in range(len(texts)):
+            Lb = max(int(lens[b]), 1)
+            finals = self._beam_line(
+                enc[b : b + 1, :Lb],
+                X[b, :Lb],
+                src_len=int(lens[b]),
+                batch_cap=max(beam_width, 4),
+                beam_width_out=max(beam_width_out, 1),
+                rejection_threshold=rejection_threshold,
+            )
+            out, pr, _cost, al = finals[0]
+            outs.append(out)
+            probs.append(pr)
+            aligns.append(al)
+        return outs, probs, aligns
+
+    def _beam_line(
+        self,
+        enc: np.ndarray,
+        src_onehot: np.ndarray,
+        src_len: int,
+        **kwargs,
+    ) -> list[tuple[str, list[float], float, np.ndarray]]:
+        """Beam over one line: builds the stacked decoder-step closure
+        for this model and delegates to :func:`beam_search`."""
+        Lb = enc.shape[1]
+        enc_proj = enc @ self.att_We
+
+        def step(feed, states, prev_a):
+            B = feed.shape[0]
+            x = feed @ self.embed
+            hs, cs = [], []
+            for d in range(self.depth):
+                hd, cd = self.dec_stack[d].step(
+                    x,
+                    np.stack([s[0][d] for s in states]),
+                    np.stack([s[1][d] for s in states]),
+                )
+                hs.append(hd)
+                cs.append(cd)
+                x = hd
+            mask = np.ones((B, Lb), dtype=bool)
+            center = np.minimum(prev_a.argmax(axis=1) + 1, Lb - 1)
+            ctx, a_all = self._attend(
+                x, enc_proj.repeat(B, 0), enc.repeat(B, 0), mask, center
+            )
+            p_all = _softmax(self._project(x, ctx), axis=-1)
+            p_all[:, UNK_IDX] = 0.0
+            new_states = [
+                ([hd[i] for hd in hs], [cd[i] for cd in cs]) for i in range(B)
+            ]
+            return p_all, a_all, new_states
+
+        init_state = (
+            [np.zeros(self.width, dtype=np.float32) for _ in self.dec_stack],
+            [np.zeros(self.width, dtype=np.float32) for _ in self.dec_stack],
+        )
+        return beam_search(
+            step,
+            init_state,
+            src_onehot,
+            src_len,
+            self.inv_vocab,
+            self.voc_size,
+            Lb,
+            **kwargs,
+        )
 
     # --- persistence ----------------------------------------------------------
 
@@ -382,6 +428,172 @@ class Seq2SeqModel:
         ] + [(f"dec{i}", l) for i, l in enumerate(m.dec_stack)]:
             layer.W, layer.U, layer.b = z[f"{name}_W"], z[f"{name}_U"], z[f"{name}_b"]
         return m
+
+
+def beam_search(
+    step_fn,
+    init_state,
+    src_onehot: np.ndarray,
+    src_len: int,
+    inv_vocab: dict[int, str],
+    voc_size: int,
+    Lb: int,
+    batch_cap: int = 8,
+    beam_width_in: int = 15,
+    beam_threshold: float = 0.2,
+    beam_width_out: int = 4,
+    rejection_threshold: float = 0.3,
+    cost0: float = 3.0,
+) -> list[tuple[str, list[float], float, np.ndarray]]:
+    """Model-agnostic A*-like beam over one line (reference
+    decode_sequence_beam, seq2seq.py:1356-1544):
+
+    * per iteration the ≤``batch_cap`` best active hypotheses are
+      stacked into ONE decoder step via ``step_fn(feed (B,V),
+      states (len B), prev_a (B,Lb)) -> (p (B,V), a (B,Lb), states)``
+      (the reference's predict_on_batch over fringe leaves,
+      seq2seq.py:1422-1429);
+    * the aligned INPUT character is injected as a fallback candidate
+      floored at ``rejection_threshold`` whenever the hypothesis tracks
+      the source (misalignment < 0.1) — the rejection path that keeps
+      the decoder from hallucinating past the input
+      (seq2seq.py:1455-1470); a rejection node carries a one-hot
+      alignment at its source position;
+    * variable beam width: candidates above highest·``beam_threshold``,
+      capped at ``beam_width_in`` (seq2seq.py:1472-1483);
+    * ranking/stopping by prospective cost cum + cost0·|length−src_len|
+      (Node.pro_cost, seq2seq.py:1589-1597);
+    * up to ``beam_width_out`` finals, best first, each with per-char
+      probs and the soft-alignment matrix (so the Viterbi segmentation
+      path survives beam mode).
+    """
+    import heapq
+    from itertools import count
+
+    arange_l = np.arange(Lb, dtype=np.float64)
+    tiebreak = count()
+
+    def pro_cost(cum: float, n_chars: int) -> float:
+        return cum + cost0 * abs(n_chars - max(src_len, 1))
+
+    root = {
+        "cum": 0.0,
+        "chars": [],
+        "probs": [],
+        "aligns": [],
+        "state": init_state,
+        "feed": np.zeros(voc_size, dtype=np.float32),
+        "prev_a": np.zeros(Lb, dtype=np.float32),
+        "was_reject": False,
+    }
+    next_beam = [(pro_cost(0.0, 0), next(tiebreak), root)]
+    finals: list[tuple[float, int, dict]] = []
+    max_batches = 2 * max(src_len, 1)
+    for _ in range(max_batches):
+        beam = []
+        while next_beam and len(beam) < batch_cap:
+            pc, tb, node = heapq.heappop(next_beam)
+            if node["chars"] and node["chars"][-1] == EOS:
+                heapq.heappush(finals, (pc, tb, node))
+            else:
+                beam.append(node)
+        if not beam:
+            break
+        if len(finals) > beam_width_out and finals[0][0] < pro_cost(
+            beam[0]["cum"], len(beam[0]["chars"])
+        ):
+            break  # best final already beats the best active hypothesis
+        p_all, a_all, new_states = step_fn(
+            np.stack([n["feed"] for n in beam]),
+            [n["state"] for n in beam],
+            np.stack([n["prev_a"] for n in beam]),
+        )
+        for i, node in enumerate(beam):
+            p = p_all[i].astype(np.float64).copy()
+            a = a_all[i]
+            n_chars = len(node["chars"])
+            # estimate the current source position for rejection
+            prev_a = node["prev_a"]
+            if n_chars >= 1 and prev_a.any():
+                prev_pos = float(prev_a @ arange_l)
+                cur_pos = float(a @ arange_l)
+                misalignment = abs(cur_pos - prev_pos - 1.0)
+                if node["was_reject"]:
+                    source_pos = int(prev_pos) + 1
+                else:
+                    source_pos = int(round(cur_pos))
+            else:
+                misalignment = 0.0
+                source_pos = 0
+            source_pos = min(max(source_pos, 0), Lb - 1)
+            rej_idx = None
+            if (
+                rejection_threshold
+                and (misalignment < 0.1 or node["was_reject"])
+                and src_onehot[source_pos].any()
+            ):
+                rej_idx = int(src_onehot[source_pos].argmax())
+                if p[rej_idx] < rejection_threshold:
+                    p[rej_idx] = rejection_threshold
+            order = np.argsort(-p)
+            highest = p[order[0]]
+            beampos = min(int((p >= highest * beam_threshold).sum()), beam_width_in)
+            for pos, idx in enumerate(order, start=1):
+                idx = int(idx)
+                score = float(p[idx])
+                if score <= 0:
+                    break
+                is_rej = idx == rej_idx
+                if pos > beampos and not is_rej:
+                    if rej_idx is not None and p[rej_idx] <= score:
+                        continue  # keep scanning for the rejection idx
+                    break
+                ch = inv_vocab.get(idx, "")
+                if ch == "":
+                    continue  # underspecified index 0
+                align1 = np.eye(Lb, dtype=np.float32)[source_pos] if is_rej else a
+                feed1 = p_all[i].copy()  # soft feedback (reference compromise)
+                if is_rej:
+                    feed1[rej_idx] = max(float(feed1[rej_idx]), rejection_threshold)
+                child = {
+                    "cum": node["cum"] - float(np.log(max(score, 1e-12))),
+                    "chars": node["chars"] + [ch],
+                    "probs": node["probs"] + [score],
+                    "aligns": node["aligns"] + [align1],
+                    "state": new_states[i],
+                    "feed": feed1,
+                    "prev_a": align1,
+                    "was_reject": is_rej,
+                }
+                heapq.heappush(
+                    next_beam,
+                    (pro_cost(child["cum"], len(child["chars"])), next(tiebreak), child),
+                )
+                if is_rej:
+                    rej_idx = None
+        # bound the open set (reference: keep only the processable best)
+        if len(next_beam) > max_batches * batch_cap:
+            next_beam = heapq.nsmallest(max_batches * batch_cap, next_beam)
+            heapq.heapify(next_beam)
+
+    def node_result(node: dict) -> tuple[str, list[float], float, np.ndarray]:
+        chars, pr = list(node["chars"]), list(node["probs"])
+        al = list(node["aligns"])
+        if not chars or chars[-1] != EOS:
+            chars.append(EOS)
+            pr.append(1.0)
+            al.append(al[-1] if al else np.ones(Lb, dtype=np.float32) / Lb)
+        return "".join(chars), pr, node["cum"], np.stack(al)
+
+    results = []
+    while finals and len(results) < beam_width_out:
+        _, _, node = heapq.heappop(finals)
+        results.append(node_result(node))
+    if not results:
+        # no final within limits: emit the best active hypothesis
+        best = min(next_beam, key=lambda t: t[0])[2] if next_beam else root
+        results.append(node_result(best))
+    return results
 
 
 def viterbi_path(soft_alignment: np.ndarray, min_score: float | None = None) -> dict[int, int]:

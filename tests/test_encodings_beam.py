@@ -45,6 +45,81 @@ def test_confmat_encoding(model):
     assert outs[0].endswith("\n")
 
 
+def test_beam_rejection_preserves_oov_input(model):
+    """The rejection path (seq2seq.py:1455-1470) must be able to carry
+    the aligned INPUT character through the beam even when the model
+    assigns it low probability: with a high rejection floor the best
+    hypothesis tracks the source instead of hallucinating."""
+    src = "hadc\n"
+    finals_rej = model._beam_line(
+        model.encode(model.encode_onehot([src])[0]),
+        model.encode_onehot([src])[0][0],
+        src_len=len(src),
+        rejection_threshold=0.95,
+        beam_width_out=4,
+    )
+    # with an overwhelming rejection floor, the echo path dominates
+    assert finals_rej[0][0] == src
+    # rejection nodes carry one-hot alignments at the tracked position
+    al = finals_rej[0][3]
+    assert al.shape == (len(src), len(src))
+    assert np.allclose(al.diagonal()[:-1], 1.0)
+    # with rejection disabled the echo is NOT guaranteed (seeded random
+    # model): the two configurations genuinely differ
+    finals_no = model._beam_line(
+        model.encode(model.encode_onehot([src])[0]),
+        model.encode_onehot([src])[0][0],
+        src_len=len(src),
+        rejection_threshold=0.0,
+        beam_width_out=4,
+    )
+    assert finals_no[0][0] != src
+
+
+def test_beam_width_out_multiple_finals(model):
+    X, lens = model.encode_onehot(["abc\n"])
+    finals = model._beam_line(
+        model.encode(X), X[0], src_len=4, beam_width_out=4, batch_cap=8
+    )
+    assert 1 <= len(finals) <= 4
+    costs = [f[2] for f in finals]
+    # ranked by prospective cost: best (lowest pro_cost) first
+    pro = [c + 3.0 * abs(len(f[0]) - 4) for c, f in zip(costs, finals)]
+    assert pro == sorted(pro)
+    for text, probs, _cost, al in finals:
+        assert text.endswith("\n")
+        assert len(probs) == len(text)
+        assert al.shape == (len(text), 4)
+
+
+def test_beam_batch_contract_and_determinism(model):
+    texts = ["abc def\n", "hg\n"]
+    o1, p1, a1 = model.decode_beam_batch(texts, beam_width=4)
+    o2, p2, a2 = model.decode_beam_batch(texts, beam_width=4)
+    assert o1 == o2
+    for t, o, p, a in zip(texts, o1, p1, a1):
+        assert o.endswith("\n")
+        assert len(p) == len(o)
+        assert a.shape == (len(o), len(t))
+
+
+def test_beam_not_worse_than_greedy_on_echo_model(model):
+    """On the seeded model with a strong rejection floor, beam output
+    tracks the degraded input at least as closely as greedy (the
+    property that makes beam worth its cost in the reference)."""
+    import difflib
+
+    srcs = ["abcd efgh\n", "hgfe dcba\n"]
+    greedy, _, _ = model.decode_greedy_batch(srcs)
+    beamed, _, _ = model.decode_beam_batch(srcs, beam_width=4, rejection_threshold=0.6)
+
+    def sim(a, b):
+        return difflib.SequenceMatcher(None, a, b).ratio()
+
+    for s, g, b in zip(srcs, greedy, beamed):
+        assert sim(b, s) >= sim(g, s)
+
+
 def test_beam_pipeline_flag(spark, model):
     from cor_asv_ann_spark.model.corrector import make_model_corrector
     from cor_asv_ann_spark.operators.correction import correct_pipeline

@@ -132,6 +132,23 @@ def test_greedy_semantics_reference_parity(h5_model):
         assert o.count("\n") == 1 and o.endswith("\n")
 
 
+def test_ref_model_beam_decode(h5_model):
+    """The h5-loaded reference graph supports the full beam (shared
+    beam_search: rejection path, hypothesis-parallel steps). With a high
+    rejection floor the beam echoes the input even under random weights."""
+    p, _ = h5_model
+    m = RefSeq2Seq.load_h5(p)
+    texts = ["abc\n", "hello\n"]
+    outs, probs, aligns = m.decode_beam_batch(texts, beam_width=4, rejection_threshold=0.95)
+    assert outs == texts  # rejection-dominated: echo of the source
+    for t, o, pr, al in zip(texts, outs, probs, aligns):
+        assert len(pr) == len(o)
+        assert al.shape == (len(o), len(t))
+    # deterministic
+    outs2, _, _ = m.decode_beam_batch(texts, beam_width=4, rejection_threshold=0.95)
+    assert outs2 == outs
+
+
 def test_ref_model_drives_spark_pipeline(spark, sf_small, h5_model):
     """End-to-end: the h5-loaded model corrects a real span table through
     correct_pipeline (broadcast state, Arrow batches, Viterbi-path
