@@ -625,6 +625,23 @@ def q_correct_glyph_level(spark, sf_dir):
     return out.select("doc_id", F.size("spans").alias("n_spans"))
 
 
+def q_correct_confmat(spark, sf_dir):
+    """Encoding 3 (confusion network): glyph-level spans corrected via
+    the confmat channel (multi-TextEquiv alternatives, the reference
+    flagship's input — wrapper/transcode.py:236-277). Rows-only: the
+    exact span-sequence-equality gate lives in pytest."""
+    from cor_asv_ann_spark.operators.correction import (
+        confmat_argmax_corrector,
+        correct_pipeline,
+    )
+    from cor_asv_ann_spark.sources.spans import synth_confmat, synth_spans
+
+    noisy = synth_spans(spark, sf_dir, noisy=True, level="glyph")
+    cm = synth_confmat(spark, sf_dir)
+    out = correct_pipeline(noisy, corrector=confmat_argmax_corrector, confmat_df=cm)
+    return out.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+
+
 def q_correct_h5_model(spark, sf_dir):
     """S7/M2-M6: the flagship pipeline driven by a model loaded from the
     reference's Keras HDF5 save format (pure-Python reader, broadcast
@@ -716,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_vote": q_align_vote,
         "join_groups": q_join_groups,
         "correct_glyph_level": q_correct_glyph_level,
+        "correct_confmat": q_correct_confmat,
         "correct_h5_model": q_correct_h5_model,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ann_lsh": q_knn_ann_lsh,

@@ -60,15 +60,18 @@ def make_model_corrector(
     beam: bool = False,
     beam_width: int = 4,
     use_conf: bool = False,
+    use_confmat: bool = False,
 ):
     """CorrectorFn over a broadcast model: texts → (out_lines, probs,
     viterbi paths).
 
-    ``beam=True`` switches to per-line beam decoding (the reference's
-    opt-in slow path, README "up to ten times less CPU" for greedy);
-    beam exposes no soft alignment, so span realignment falls back to
-    the NW path. ``use_conf=True`` consumes a per-line confidence
-    channel (prob-line encoding)."""
+    ``beam=True`` switches to beam decoding (the reference's opt-in slow
+    path, README "up to ten times less CPU" for greedy) — batched
+    encoder + hypothesis-parallel expansion, alignments preserved.
+    ``use_conf=True`` consumes a per-line confidence channel (prob-line
+    encoding); ``use_confmat=True`` the confusion-network channel
+    (encoding 3 — the reference flagship's multi-TextEquiv input,
+    wrapper/transcode.py:236-277)."""
     bc = spark.sparkContext.broadcast(model_state(model))
 
     def _model() -> Seq2SeqModel:
@@ -90,7 +93,17 @@ def make_model_corrector(
                 for t, al in zip(texts, aligns)
             ]
             return pd.Series(outs, index=texts.index), probs, paths
-        if use_conf and confs is not None:
+        if use_confmat and confs is not None:
+            # confs carries the confmat column here (chunk lists of
+            # {alt, p} structs from Arrow) → (alt, p) tuples
+            cms = [
+                [[(d["alt"], float(d["p"])) for d in chunk] for chunk in cm]
+                if cm is not None
+                else [[(ch, 1.0)] for ch in t]
+                for t, cm in zip(texts, confs)
+            ]
+            outs, probs, aligns = m.decode_greedy_confmat(cms)
+        elif use_conf and confs is not None:
             outs, probs, aligns = m.decode_greedy_prob(
                 list(texts), [list(c) if c is not None else None for c in confs]
             )
@@ -103,4 +116,5 @@ def make_model_corrector(
         return pd.Series(outs, index=texts.index), probs, paths
 
     corrector.wants_conf = use_conf
+    corrector.wants_confmat = use_confmat
     return corrector

@@ -106,13 +106,48 @@ def charmap_corrector(texts: pd.Series) -> tuple[pd.Series, None]:
     return texts.map(correct_charmap), None
 
 
+def confmat_argmax_corrector(texts: pd.Series, confmats: pd.Series):
+    """Confusion-network rule corrector: per chunk pick the
+    highest-probability alternative (the relational analogue of the
+    model consuming encoding 3, SURVEY §1.2 — the reference's flagship
+    feeds multi-TextEquiv glyph alternatives this way,
+    wrapper/transcode.py:236-277). Lines without a confmat pass
+    through unchanged."""
+    outs, probs = [], []
+    for in_line, cm in zip(texts, confmats):
+        if cm is None or len(cm) == 0:
+            outs.append(in_line)
+            probs.append([1.0] * len(in_line))
+            continue
+        out_parts: list[str] = []
+        pr: list[float] = []
+        for chunk in cm:
+            best = max(chunk, key=lambda d: d["p"])
+            alt, p = best["alt"], float(best["p"])
+            out_parts.append(alt)
+            pr.extend([p] * len(alt))
+        outs.append("".join(out_parts))
+        probs.append(pr)
+    return pd.Series(outs, index=texts.index), probs
+
+
+confmat_argmax_corrector.wants_confmat = True
+
+
 def make_correct_lines_udf(corrector: CorrectorFn):
     def correct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             in_lines = pdf["texts"].map(lambda ts: "".join(ts))
-            if getattr(corrector, "wants_conf", False) and "conf" in pdf.columns:
+            if getattr(corrector, "wants_confmat", False) and "confmat" in pdf.columns:
+                import json
+
+                cms = pdf["confmat"].map(
+                    lambda s: json.loads(s) if isinstance(s, str) else s
+                )
+                res = corrector(in_lines, cms)
+            elif getattr(corrector, "wants_conf", False) and "conf" in pdf.columns:
                 res = corrector(in_lines, pdf["conf"])
             else:
                 res = corrector(in_lines)
@@ -219,6 +254,7 @@ def correct_pipeline(
     n_buckets: int | None = None,
     bucket_filter: list[int] | None = None,
     conf_df: DataFrame | None = None,
+    confmat_df: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end: spans table in → corrected spans table out.
 
@@ -226,7 +262,9 @@ def correct_pipeline(
     only documents whose salt bucket is in the filter are processed
     (checkpoint.resume drives this). ``conf_df`` is an optional per-line
     confidence channel (doc_id, line_no, conf: array<float>) consumed by
-    conf-aware correctors (prob-line encoding, SURVEY §1.2)."""
+    conf-aware correctors (prob-line encoding, SURVEY §1.2);
+    ``confmat_df`` the analogous confusion-network channel
+    (doc_id, line_no, confmat — encoding 3, CONFMAT_SCHEMA)."""
     flat = spans_with_line_no(spans_df)
     if n_buckets:
         flat = flat.withColumn("bucket", salt_bucket(F.col("doc_id"), n_buckets))
@@ -236,6 +274,15 @@ def correct_pipeline(
     lines = assemble_lines(flat)
     if conf_df is not None:
         lines = lines.join(conf_df, ["doc_id", "line_no"], "left")
+    if confmat_df is not None:
+        # the doubly-nested array<array<struct>> trips Arrow's pandas
+        # deserializer inside mapInPandas (ragged ndarray coercion) —
+        # ship it across the UDF boundary as JSON and parse per batch
+        lines = lines.join(
+            confmat_df.withColumn("confmat", F.to_json("confmat")),
+            ["doc_id", "line_no"],
+            "left",
+        )
     corrected = correct_lines(lines, corrector)
     return reassemble(corrected)
 

@@ -59,6 +59,34 @@ LINE_SCHEMA = T.StructType(
     ]
 )
 
+# confusion-network channel (SURVEY §1.2 encoding 3): one row per line,
+# confmat = horizontal list of chunks, each a vertical list of
+# (alternative, prob) — the reference's _line_sequences2confmat_sequences
+# shape (wrapper/transcode.py:236-277); offsets advance by the longest
+# alternative per chunk
+CONFMAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("line_no", T.IntegerType(), False),
+        T.StructField(
+            "confmat",
+            T.ArrayType(
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("alt", T.StringType(), False),
+                            T.StructField("p", T.FloatType(), False),
+                        ]
+                    ),
+                    False,
+                ),
+                False,
+            ),
+            False,
+        ),
+    ]
+)
+
 # correction UDF output: corrected per-span texts + per-span mean confidence
 CORRECTED_LINE_SCHEMA = T.StructType(
     list(LINE_SCHEMA.fields)

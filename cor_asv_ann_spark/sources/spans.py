@@ -117,6 +117,58 @@ def synth_spans(
     return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
 
 
+def synth_confmat(
+    spark: SparkSession,
+    sf_dir: str,
+    p_primary: float = 0.4,
+    p_alt: float = 0.6,
+) -> DataFrame:
+    """Confusion-network channel for the glyph-level noisy span table:
+    per line a confmat (list of chunks, each a list of (alt, p)) in the
+    reference's _line_sequences2confmat_sequences shape
+    (wrapper/transcode.py:236-277). Degraded glyphs carry the OCR form
+    as the primary alternative plus the engine's second guess — the
+    multi-TextEquiv glyph annotations the reference's flagship consumes.
+    Deterministic per (doc_id, offset): same keys as synth_spans'
+    degradation, so chunks align 1:1 with the noisy glyph spans."""
+    from ..schema import CONFMAT_SCHEMA
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
+                spans = build_spans(doc_id, text, level="glyph")
+                line_no = 0
+                chunks: list[list[dict]] = []
+                for k, t, _r, o in spans:
+                    if k == "media":
+                        continue  # media spans carry no text position
+                    if k == "glyph":
+                        noisy = degrade_reversible(t, f"{doc_id}:{o}")
+                        if noisy != t:
+                            chunk = [
+                                {"alt": noisy, "p": p_primary},
+                                {"alt": t, "p": p_alt},
+                            ]
+                        else:
+                            chunk = [{"alt": t, "p": 1.0}]
+                    else:  # space / newline
+                        chunk = [{"alt": t, "p": 1.0}]
+                    chunks.append(chunk)
+                    if k == "newline":
+                        rows.append({"doc_id": doc_id, "line_no": line_no, "confmat": chunks})
+                        chunks = []
+                        line_no += 1
+                if chunks:
+                    rows.append({"doc_id": doc_id, "line_no": line_no, "confmat": chunks})
+            yield pd.DataFrame(rows, columns=["doc_id", "line_no", "confmat"])
+
+    return docs.mapInPandas(gen, schema=CONFMAT_SCHEMA)
+
+
 def iceberg_or_parquet_write(df: DataFrame, path_or_table: str, mode: str = "overwrite") -> str:
     """Write to Iceberg when the catalog is on the classpath, else parquet
     with the identical layout. Returns the format used."""
