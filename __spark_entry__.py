@@ -486,6 +486,20 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_char_lm_counts(spark, sf_dir):
+    """Character trigram LM training counts (the Spark-side analogue of
+    the reference's lm_predict language model): one explode + hash agg,
+    top 50 (context, char) pairs."""
+    from cor_asv_ann_spark.operators.lm import char_ngram_counts
+
+    d = _docs(spark, sf_dir)
+    return (
+        char_ngram_counts(d, "text", order=3)
+        .orderBy(F.desc("n"), "ctx", "ch")
+        .limit(50)
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """T2-shaped window top-k: 3 longest documents per language."""
     from pyspark.sql import Window
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_histogram": q_word_histogram,
         "mark_oov": q_mark_oov,
         "bpe_token_count": q_bpe_token_count,
+        "char_lm_counts": q_char_lm_counts,
         "topk_per_group": q_topk_per_group,
         "events_pivot": q_events_pivot,
         # UDF / pipeline (rows-only)
@@ -1041,6 +1056,16 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_sub
               FROM documents)
             GROUP BY lang ORDER BY lang
+        """,
+        "char_lm_counts": """
+            WITH grams AS (
+              SELECT substr(text, greatest(i - 2, 1), least(2, i - 1)) AS ctx,
+                     substr(text, i, 1) AS ch
+              FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+            uni AS (SELECT '' AS ctx, ch FROM grams),
+            allg AS (SELECT * FROM grams UNION ALL SELECT * FROM uni)
+            SELECT ctx, ch, count(*) AS n FROM allg
+            GROUP BY ctx, ch ORDER BY n DESC, ctx, ch LIMIT 50
         """,
         "topk_per_group": """
             SELECT lang, doc_id, n_chars, rk FROM (

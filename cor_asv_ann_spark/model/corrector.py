@@ -61,6 +61,7 @@ def make_model_corrector(
     beam_width: int = 4,
     use_conf: bool = False,
     use_confmat: bool = False,
+    lm=None,
 ):
     """CorrectorFn over a broadcast model: texts → (out_lines, probs,
     viterbi paths).
@@ -73,6 +74,11 @@ def make_model_corrector(
     (encoding 3 — the reference flagship's multi-TextEquiv input,
     wrapper/transcode.py:236-277)."""
     bc = spark.sparkContext.broadcast(model_state(model))
+    bc_lm = (
+        spark.sparkContext.broadcast({"table": lm.table, "order": lm.order})
+        if lm is not None
+        else None
+    )
 
     def _model() -> Seq2SeqModel:
         key = id(bc)
@@ -82,12 +88,27 @@ def make_model_corrector(
             _MODEL_CACHE[key] = m
         return m
 
+    def _lm():
+        if bc_lm is None:
+            return None
+        key = ("lm", id(bc_lm))
+        l = _MODEL_CACHE.get(key)
+        if l is None:
+            from ..operators.lm import CharNgramLM
+
+            l = CharNgramLM(bc_lm.value["table"], order=bc_lm.value["order"])
+            _MODEL_CACHE[key] = l
+        return l
+
     def corrector(texts: pd.Series, confs: pd.Series | None = None):
         m = _model()
         if beam:
             # batched-encoder + hypothesis-parallel beam; alignments come
-            # back so beam mode keeps the Viterbi segmentation path too
-            outs, probs, aligns = m.decode_beam_batch(list(texts), beam_width=beam_width)
+            # back so beam mode keeps the Viterbi segmentation path too.
+            # lm (broadcast with the weights) reranks hypotheses
+            outs, probs, aligns = m.decode_beam_batch(
+                list(texts), beam_width=beam_width, lm=_lm()
+            )
             paths = [
                 viterbi_path(al[:, : len(t)] if al.size else al)
                 for t, al in zip(texts, aligns)

@@ -318,6 +318,7 @@ class Seq2SeqModel:
         beam_width: int = 4,
         beam_width_out: int = 1,
         rejection_threshold: float = 0.3,
+        lm=None,
     ):
         """Beamed analogue of decode_greedy_batch: the encoder runs ONCE
         on the whole padded batch (as the reference does before looping
@@ -329,6 +330,9 @@ class Seq2SeqModel:
         if not texts:
             return [], [], []
         X, lens = self.encode_onehot(texts)
+        if X.shape[1] == 0:  # batch of empty (media-only) lines
+            B = len(texts)
+            return [EOS] * B, [[1.0]] * B, [np.ones((1, 1), dtype=np.float32)] * B
         enc = self.encode(X)
         outs, probs, aligns = [], [], []
         for b in range(len(texts)):
@@ -340,6 +344,7 @@ class Seq2SeqModel:
                 batch_cap=max(beam_width, 4),
                 beam_width_out=max(beam_width_out, 1),
                 rejection_threshold=rejection_threshold,
+                lm_logprob=lm.logprob if lm is not None else None,
             )
             out, pr, _cost, al = finals[0]
             outs.append(out)
@@ -444,9 +449,15 @@ def beam_search(
     beam_width_out: int = 4,
     rejection_threshold: float = 0.3,
     cost0: float = 3.0,
+    lm_logprob=None,
 ) -> list[tuple[str, list[float], float, np.ndarray]]:
     """Model-agnostic A*-like beam over one line (reference
     decode_sequence_beam, seq2seq.py:1356-1544):
+
+    ``lm_logprob(history, ch) -> float`` switches hypothesis RANKING to
+    a language model while the decoder still drives candidate selection
+    and feedback (the reference's lm_predict mode, seq2seq.py:1486-1489:
+    'use probability from LM instead of decoder for beam ratings').
 
     * per iteration the ≤``batch_cap`` best active hypotheses are
       stacked into ONE decoder step via ``step_fn(feed (B,V),
@@ -555,8 +566,12 @@ def beam_search(
                 feed1 = p_all[i].copy()  # soft feedback (reference compromise)
                 if is_rej:
                     feed1[rej_idx] = max(float(feed1[rej_idx]), rejection_threshold)
+                if lm_logprob is not None:
+                    step_cost = -lm_logprob("".join(node["chars"]), ch)
+                else:
+                    step_cost = -float(np.log(max(score, 1e-12)))
                 child = {
-                    "cum": node["cum"] - float(np.log(max(score, 1e-12))),
+                    "cum": node["cum"] + step_cost,
                     "chars": node["chars"] + [ch],
                     "probs": node["probs"] + [score],
                     "aligns": node["aligns"] + [align1],

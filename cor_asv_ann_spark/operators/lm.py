@@ -1,0 +1,82 @@
+"""Character n-gram language model: Spark-side training + incremental
+scoring for beam rescoring.
+
+The reference can mix an incremental LM into decoding — with
+``lm_predict`` the beam ranks candidates by the LM's probability
+instead of the decoder's (seq2seq.py:1430-1434, 1486-1489) while the
+decoder still drives feedback. Its LM is a second seq2seq; here the
+idiomatic-Spark equivalent is an n-gram model trained as one hash
+aggregation over the corpus (map-side combinable, shuffles only the
+distinct (context, char) keys) and broadcast as a lookup table —
+the 100 TB-safe way to get corpus-level priors into the beam.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -> DataFrame:
+    """(context, ch, n) counts for context length ``order−1``, plus the
+    unigram fallback (context=''). One explode + one hash agg, all
+    JVM-side: each position i of every document emits its
+    (preceding-(order−1)-chars, char) pair."""
+    k = order - 1
+    pairs = F.expr(
+        f"""
+        transform(sequence(1, length({text_col})),
+                  i -> struct(substring({text_col}, greatest(i - {k}, 1),
+                                        least({k}, i - 1)) as ctx,
+                              substring({text_col}, i, 1) as ch))
+        """
+    )
+    grams = docs.select(F.explode(pairs).alias("g")).select("g.ctx", "g.ch")
+    uni = grams.select(F.lit("").alias("ctx"), "ch")
+    return (
+        grams.unionByName(uni)
+        .groupBy("ctx", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def lm_table(counts: DataFrame, min_count: int = 1) -> dict[str, dict[str, float]]:
+    """Collect the (bounded: ≤ observed contexts × vocab) count table
+    into the broadcastable nested dict the scorer uses. ``min_count``
+    prunes the long tail at corpus scale."""
+    rows = counts.filter(F.col("n") >= min_count).collect()
+    table: dict[str, dict[str, float]] = {}
+    for r in rows:
+        table.setdefault(r.ctx, {})[r.ch] = float(r.n)
+    return table
+
+
+class CharNgramLM:
+    """Incremental scorer with stupid-backoff to shorter contexts and a
+    uniform floor; add-one smoothing per context."""
+
+    def __init__(self, table: dict[str, dict[str, float]], order: int = 3, backoff: float = 0.4):
+        self.table = table
+        self.order = order
+        self.backoff = backoff
+        self.voc = len(table.get("", {})) or 1
+        self._totals = {ctx: sum(d.values()) for ctx, d in table.items()}
+
+    def logprob(self, history: str, ch: str) -> float:
+        penalty = 1.0
+        for k in range(self.order - 1, -1, -1):
+            ctx = history[-k:] if k else ""
+            d = self.table.get(ctx)
+            if d and ch in d:
+                p = (d[ch] + 1.0) / (self._totals[ctx] + self.voc)
+                return math.log(p * penalty)
+            penalty *= self.backoff
+        return math.log(penalty / self.voc)
+
+
+def train_char_lm(
+    docs: DataFrame, text_col: str = "text", order: int = 3, min_count: int = 1
+) -> CharNgramLM:
+    return CharNgramLM(lm_table(char_ngram_counts(docs, text_col, order), min_count), order)

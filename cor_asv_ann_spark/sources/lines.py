@@ -36,6 +36,63 @@ def read_tsv_pairs(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_pickle_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """S5: the reference's ``.pkl`` pair dumps (gen_lines detects them by
+    suffix, lib/seq2seq.py:937-960): a pickled iterable of
+    (source, target) where source is a plain string, a prob line
+    (list of (char, conf)), or a confmat (list of chunks of (alt, p)).
+
+    Spark-side: ``binaryFile`` scan (one task per file — pickle is not
+    splittable, but a directory of dumps parallelizes across files) +
+    per-file unpickle in an Arrow batch. Output columns: source, target,
+    conf (array<float> | null), confmat (JSON string | null) — the same
+    channels correct_pipeline consumes."""
+    import json
+    import pickle
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def unpickle(batches: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                data = pickle.loads(bytes(content))
+                for source, target in data:
+                    conf = None
+                    confmat = None
+                    if not source:
+                        text = ""
+                    elif isinstance(source, str):
+                        text = source
+                    elif isinstance(source[0], tuple) and isinstance(source[0][0], str):
+                        # prob line: [(char, conf), ...]
+                        text = "".join(ch for ch, _ in source)
+                        conf = [float(p) for _, p in source]
+                    else:
+                        # confmat: [[(alt, p), ...], ...]
+                        text = "".join(chunk[0][0] if chunk else "" for chunk in source)
+                        confmat = json.dumps(
+                            [[{"alt": a, "p": float(p)} for a, p in chunk] for chunk in source]
+                        )
+                    rows.append(
+                        {"source": text, "target": target, "conf": conf, "confmat": confmat}
+                    )
+            yield pd.DataFrame(rows, columns=["source", "target", "conf", "confmat"])
+
+    return files.select("content").mapInPandas(
+        unpickle,
+        schema="source string, target string, conf array<float>, confmat string",
+    )
+
+
+def read_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """Format-dispatching pair reader (the reference's suffix detection,
+    seq2seq.py:937)."""
+    if path.endswith(".pkl"):
+        return read_pickle_pairs(spark, path)
+    return read_tsv_pairs(spark, path)
+
+
 def read_plain_lines(spark: SparkSession, path: str) -> DataFrame:
     """Plain text reader → unsupervised pairs (source == target),
     mirroring gen_lines(unsupervised=True)."""
