@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..corelib.geometry import format_box, merge_boxes, parse_box, split_box
 from ..schema import CORRECTED_LINE_SCHEMA
 
 
@@ -60,28 +61,36 @@ def resegment_line(
             # the merged span's INPUT is the concatenation of all three
             # originals (word + swallowed space + word)
             out_in[-1] = out_in[-1] + in_texts[i] + in_texts[i + 1]
-            # geometry of the merge spans both words (reference merges
-            # Coords); keep the left anchor, record the join
+            # geometry of the merge: bounding-box union of both words
+            # (reference _merge_words, transcode.py:550-554); opaque
+            # anchors keep the left side
+            ba, bb = parse_box(out_r[-1]), parse_box(refs[i + 1])
+            if ba and bb:
+                out_r[-1] = format_box(merge_boxes(ba, bb))
             i += 2
             continue
         if k == "word" and " " in t.strip() and t.strip():
             # introduced inner space → split into word/space/word...
             parts = t.split(" ")
             total = max(len(t), 1)
+            box = parse_box(r)
             pos = 0
             first = True
             for j, p in enumerate(parts):
                 if p:
-                    # proportional geometry split (reference splits
-                    # Coords/@points by character share)
-                    frac = f"{pos}-{pos + len(p)}/{total}"
-                    emit(
-                        "word",
-                        p,
-                        f"{r}#split[{frac}]" if r else r,
-                        c,
-                        in_texts[i] if first else "",
-                    )
+                    # proportional geometry split by character share
+                    # (reference _split_word_at_space,
+                    # transcode.py:600-628: prev w = w·fract,
+                    # next x = x + w·fract)
+                    if box:
+                        ref = format_box(
+                            split_box(box, pos / total, (pos + len(p)) / total)
+                        )
+                    elif r:
+                        ref = f"{r}#split[{pos}-{pos + len(p)}/{total}]"
+                    else:
+                        ref = r
+                    emit("word", p, ref, c, in_texts[i] if first else "")
                     first = False
                 pos += len(p)
                 if j + 1 < len(parts):

@@ -52,6 +52,30 @@ def test_resegment_split():
     assert len(src) == len(k)
 
 
+def test_resegment_split_box_geometry():
+    """box:// refs get REAL proportional geometry (reference
+    _split_word_at_space: prev w = w·fract, next x = x + w·fract)."""
+    k, t, r, c, _src = resegment_line(
+        ["word", "newline"], ["ab cd", "\n"], ["box://100,10,50,20", None], [0.6, 1.0]
+    )
+    assert t == ["ab", " ", "cd", "\n"]
+    assert r[0] == "box://100,10,20,20"  # [0, 2/5) of width 50
+    assert r[2] == "box://130,10,20,20"  # [3/5, 5/5)
+    assert r[1] is None
+
+
+def test_resegment_merge_box_geometry():
+    """Merged words take the bounding-box union (reference _merge_words)."""
+    k, t, r, c, _src = resegment_line(
+        ["word", "space", "word", "newline"],
+        ["fo", "", "o", "\n"],
+        ["box://10,10,20,20", None, "box://40,5,10,30", None],
+        [0.9, 1.0, 0.7, 1.0],
+    )
+    assert t == ["foo", "\n"]
+    assert r[0] == "box://10,5,40,30"  # union of both boxes
+
+
 def test_resegment_noop():
     k, t, r, c, src = resegment_line(
         ["word", "newline"], ["ok", "\n"], ["g", None], [1.0, 1.0]
