@@ -150,7 +150,7 @@ def q_worst_lines(spark, sf_dir):
         d.select(
             "doc_id",
             F.levenshtein("ocr_text", "text").cast("double").alias("dist"),
-            F.greatest(F.length("ocr_text"), F.length("text")).alias("length"),
+            F.greatest(F.length("ocr_text"), F.length("text")).cast("long").alias("length"),
         )
         .orderBy(F.desc("dist"), "doc_id")
         .limit(20)
@@ -359,7 +359,7 @@ def q_knn_cosine(spark, sf_dir):
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10)
     return brute_force_topk(e, q, k=5).select(
-        "query_id", "neighbor_id", "rank"
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     ).orderBy("query_id", "rank")
 
 
@@ -392,7 +392,7 @@ def q_quality_scores(spark, sf_dir):
             "doc_id",
             F.round("alpha_ratio", 6).alias("alpha_ratio"),
             F.round("stopword_ratio", 6).alias("stopword_ratio"),
-            "n_tokens",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             "quality",
         )
         .orderBy(F.desc("quality"), "doc_id")
@@ -509,7 +509,7 @@ def q_topk_per_group(spark, sf_dir):
     return (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("lang", "doc_id", "n_chars", "rk")
+        .select("lang", "doc_id", "n_chars", F.col("rk").cast("long").alias("rk"))
         .orderBy("lang", "rk")
     )
 
