@@ -31,7 +31,12 @@ def main() -> None:
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--buckets", type=int, default=8)
-    ap.add_argument("--model", help="npz model weights (default: rule corrector)")
+    ap.add_argument(
+        "--model",
+        help="model weights: .h5 (the reference's Keras save format) or "
+        ".npz (default: rule corrector)",
+    )
+    ap.add_argument("--beam", action="store_true", help="beam decode (slow path)")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     args = ap.parse_args()
 
@@ -50,9 +55,16 @@ def main() -> None:
     corrector = None
     if args.model:
         from cor_asv_ann_spark.model.corrector import make_model_corrector
-        from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel
 
-        corrector = make_model_corrector(spark, Seq2SeqModel.load_npz(args.model))
+        if args.model.endswith(".h5"):
+            from cor_asv_ann_spark.model.keras_graph import RefSeq2Seq
+
+            model = RefSeq2Seq.load_h5(args.model)
+        else:
+            from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel
+
+            model = Seq2SeqModel.load_npz(args.model)
+        corrector = make_model_corrector(spark, model, beam=args.beam)
 
     summary = run_resumable(
         spark,
