@@ -47,6 +47,8 @@ def write_keras_fixture(
     width: int = 16,
     depth: int = 2,
     seed: int = 7,
+    bridge_dense: bool = False,
+    residual: bool = False,
 ) -> dict:
     """Write a seeded random model in the reference's exact HDF5 layout
     (Keras 2.x save_weights groups + the config group of
@@ -75,9 +77,9 @@ def write_keras_fixture(
             "width": np.array(W),
             "depth": np.array(D),
             "stateful": np.array(False),
-            "residual_connections": np.array(False),
+            "residual_connections": np.array(residual),
             "deep_bidirectional_encoder": np.array(False),
-            "bridge_dense": np.array(False),
+            "bridge_dense": np.array(bridge_dense),
             "mapping": np.array(mapping, dtype=np.uint32),
         },
         "char_input_projection": {"char_embedding": {"kernel:0": mat(V, W)}},
@@ -93,6 +95,17 @@ def write_keras_fixture(
     for n in range(2, D + 1):
         tree[f"encoder_lstm_{n}"] = {f"encoder_lstm_{n}": lstm(2 * W if n == 2 else W)}
         layer_names.append(f"encoder_lstm_{n}")
+    if bridge_dense:
+        for n in range(1, D + 1):
+            for side in ("h", "c"):
+                lname = f"bridge_{side}_{n}"
+                tree[lname] = {
+                    lname: {
+                        "kernel:0": mat(W, W),
+                        "bias:0": np.zeros(W, dtype=np.float32),
+                    }
+                }
+                layer_names.append(lname)
     for n in range(1, D + 1):
         body = lstm(W + enc_dim if n == D else W)
         if n == D:

@@ -50,6 +50,54 @@ def test_hdf5_roundtrip_dtypes_and_attrs(tmp_path):
     assert "g" in f and "g/deep/nested" in f and "g/nope" not in f
 
 
+def test_hdf5_property_roundtrip(tmp_path):
+    """Property test: arbitrary nested trees of arrays survive the
+    write→read roundtrip byte-exactly (shapes, dtypes, values, attrs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789:", min_size=1, max_size=12
+    )
+    arr = st.one_of(
+        arrays(np.float32, st.tuples(st.integers(0, 5), st.integers(1, 4)),
+               elements=st.floats(-1e3, 1e3, width=32)),
+        arrays(np.int64, st.integers(0, 7),
+               elements=st.integers(-(2**40), 2**40)),
+        arrays(np.uint32, st.integers(1, 5), elements=st.integers(0, 2**31)),
+    )
+    tree_strategy = st.recursive(
+        st.dictionaries(name, arr, min_size=1, max_size=3),
+        lambda children: st.dictionaries(name, st.one_of(arr, children), min_size=1, max_size=3),
+        max_leaves=6,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(tree=tree_strategy)
+    def check(tree):
+        counter[0] += 1
+        p = str(tmp_path / f"prop{counter[0]}.h5")
+        write_h5(p, tree)
+        f = read_h5(p)
+
+        def verify(node, grp):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    verify(v, grp[k])
+                else:
+                    got = grp[k].data
+                    assert got.dtype == v.dtype, (k, got.dtype, v.dtype)
+                    assert got.shape == v.shape
+                    assert np.array_equal(got, v)
+
+        verify(tree, f)
+
+    check()
+
+
 def test_hdf5_many_members_sorted_lookup(tmp_path):
     """Symbol-table entries must be retrievable for wide groups (SNOD
     holds sorted entries; Keras layers easily exceed a handful)."""
@@ -117,6 +165,21 @@ def test_depth1_bidirectional_context(h5_model, tmp_path):
     assert m.dec_stack[0].W.shape == (48, 64)
     outs, _, aligns = m.decode_greedy_batch(["test line\n"])
     assert outs[0].endswith("\n") and aligns[0].shape[1] == 10
+
+
+def test_bridge_and_residual_load_paths(tmp_path):
+    """Optional-config graphs (bridge_dense Dense-tanh on the decoder
+    init states; residual adds in both stacks) load and decode."""
+    from cor_asv_ann_spark.model.keras_graph import write_keras_fixture
+
+    p = str(tmp_path / "br.h5")
+    write_keras_fixture(p, width=16, depth=3, seed=11, bridge_dense=True, residual=True)
+    m = RefSeq2Seq.load_h5(p)
+    assert m.bridge and m.residual and len(m.bridges) == 3
+    outs, _, _ = m.decode_greedy_batch(["abc def\n"])
+    assert outs[0].endswith("\n")
+    outs2, _, _ = RefSeq2Seq.load_h5(p).decode_greedy_batch(["abc def\n"])
+    assert outs2 == outs
 
 
 def test_greedy_semantics_reference_parity(h5_model):
