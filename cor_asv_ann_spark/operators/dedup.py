@@ -90,10 +90,16 @@ def lsh_candidates(
     )
     banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val"))
     if max_bucket is not None:
-        sizes = banded.groupBy("band_idx", "band_val").agg(F.count(F.lit(1)).alias("bsz"))
-        banded = banded.join(
-            sizes.filter(F.col("bsz") <= max_bucket), ["band_idx", "band_val"]
-        ).drop("bsz")
+        # window count, not a sizes-subquery join: one pass, and the
+        # (band_idx, band_val) exchange pre-partitions the self-join
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -234,8 +240,14 @@ def simhash_near_pairs(
     )
     banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
     if max_bucket is not None:
-        sizes = banded.groupBy("ci", "cv").agg(F.count(F.lit(1)).alias("bsz"))
-        banded = banded.join(sizes.filter(F.col("bsz") <= max_bucket), ["ci", "cv"]).drop("bsz")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ci", "cv")
+        banded = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -73,9 +73,15 @@ def banded(
         F.col(id_col), F.posexplode(codes(F.col(vec_col))).alias("band", "code")
     )
     if max_bucket is not None:
-        sizes = out.groupBy("band", "code").agg(F.count(F.lit(1)).alias("bsz"))
-        out = out.join(sizes.filter(F.col("bsz") <= max_bucket), ["band", "code"]).drop(
-            "bsz"
+        # bucket-size cap via a window count: ONE pass over the UDF
+        # output (a sizes-subquery join would recompute the projection
+        # matmul), and the (band, code) exchange it introduces is the
+        # same partitioning the downstream self-join needs
+        w = Window.partitionBy("band", "code")
+        out = (
+            out.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("bsz") <= max_bucket)
+            .drop("bsz")
         )
     return out
 
