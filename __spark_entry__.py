@@ -486,6 +486,20 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_strip_boilerplate(spark, sf_dir):
+    """Main-content extraction (north rule 'boilerplate strip'):
+    jusText-style line classification + per-doc clean-text reassembly,
+    pure JVM HOFs."""
+    from cor_asv_ann_spark.operators.extract import strip_boilerplate
+
+    d = _docs(spark, sf_dir)
+    return (
+        strip_boilerplate(d, words_per_line=12, min_chars=25, min_stop_density=0.05)
+        .select("doc_id", "clean_text", "n_lines", "n_kept", "kept_ratio")
+        .orderBy("doc_id")
+    )
+
+
 def q_char_lm_counts(spark, sf_dir):
     """Character trigram LM training counts (the Spark-side analogue of
     the reference's lm_predict language model): one explode + hash agg,
@@ -639,6 +653,17 @@ def q_correct_glyph_level(spark, sf_dir):
     return out.select("doc_id", F.size("spans").alias("n_spans"))
 
 
+def q_media_context(spark, sf_dir):
+    """Caption mining over the interleaved payload: per media span the
+    surrounding word context in reading order (rows-only: spans
+    synthesis is UDF-side)."""
+    from cor_asv_ann_spark.operators.extract import media_context
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    spans = synth_spans(spark, sf_dir, noisy=False)
+    return media_context(spans).orderBy("doc_id", "offset")
+
+
 def q_correct_confmat(spark, sf_dir):
     """Encoding 3 (confusion network): glyph-level spans corrected via
     the confmat channel (multi-TextEquiv alternatives, the reference
@@ -736,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_oov": q_mark_oov,
         "bpe_token_count": q_bpe_token_count,
         "char_lm_counts": q_char_lm_counts,
+        "strip_boilerplate": q_strip_boilerplate,
         "topk_per_group": q_topk_per_group,
         "events_pivot": q_events_pivot,
         # UDF / pipeline (rows-only)
@@ -748,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_vote": q_align_vote,
         "join_groups": q_join_groups,
         "correct_glyph_level": q_correct_glyph_level,
+        "media_context": q_media_context,
         "correct_confmat": q_correct_confmat,
         "correct_h5_model": q_correct_h5_model,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1056,6 +1083,37 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_sub
               FROM documents)
             GROUP BY lang ORDER BY lang
+        """,
+        "strip_boilerplate": """
+            WITH docs2 AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS words
+              FROM documents),
+            lin AS (
+              SELECT doc_id, i AS line_no,
+                     array_to_string(words[i*12+1 : i*12+12], ' ') AS line
+              FROM docs2,
+                   unnest(range(0, greatest(CAST(ceil(len(words)/12.0) AS INT), 1))) AS t(i)),
+            feat AS (
+              SELECT doc_id, line_no, line,
+                     length(line) AS n_chars,
+                     len(list_filter(string_split_regex(line, '\\s+'), x -> x <> '')) AS n_tok,
+                     len(regexp_extract_all(lower(line),
+                         '\\b(the|and|of|is|was|a|in|to)\\b')) AS n_stop,
+                     len(regexp_extract_all(line, '(://|<[^>]*>)')) AS n_link
+              FROM lin),
+            cls AS (
+              SELECT *,
+                     (n_chars >= 25
+                      AND CAST(n_stop AS DOUBLE)/greatest(n_tok, 1) >= 0.05
+                      AND CAST(n_link AS DOUBLE)/greatest(n_tok, 1) <= 0.1) AS keep
+              FROM feat)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                                       ORDER BY line_no), '') AS clean_text,
+                   count(*) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END)/count(*), 6) AS kept_ratio
+            FROM cls GROUP BY doc_id ORDER BY doc_id
         """,
         "char_lm_counts": """
             WITH grams AS (
