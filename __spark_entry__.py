@@ -664,6 +664,19 @@ def q_media_context(spark, sf_dir):
     return media_context(spans).orderBy("doc_id", "offset")
 
 
+def q_layout_reading_order(spark, sf_dir):
+    """XY-cut layout analysis (north rule 'PDF/layout parse'): recursive
+    whitespace-gap reading order over geometric blocks (rows-only:
+    recursive algorithm, not SQL-expressible; correctness pinned in
+    pytest against a known column-major layout)."""
+    from cor_asv_ann_spark.operators.layout import reading_order_blocks, synth_blocks
+
+    blocks = synth_blocks(spark, sf_dir, n_columns=2, rows_per_col=4)
+    return reading_order_blocks(blocks).select(
+        "doc_id", "block_id", F.col("order").cast("long").alias("order")
+    ).orderBy("doc_id", "order")
+
+
 def q_correct_confmat(spark, sf_dir):
     """Encoding 3 (confusion network): glyph-level spans corrected via
     the confmat channel (multi-TextEquiv alternatives, the reference
@@ -775,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_groups": q_join_groups,
         "correct_glyph_level": q_correct_glyph_level,
         "media_context": q_media_context,
+        "layout_reading_order": q_layout_reading_order,
         "correct_confmat": q_correct_confmat,
         "correct_h5_model": q_correct_h5_model,
         "embedding_near_dups": q_embedding_near_dups,

@@ -1,0 +1,136 @@
+"""Layout analysis (north rule 'PDF/layout parse, DOM heuristics'):
+recursive XY-cut reading order over geometric text blocks.
+
+A page arrives as unordered blocks with bounding boxes; XY-cut
+recursively splits at the widest horizontal/vertical whitespace gap
+(columns first, then rows within a column) until regions are atomic,
+yielding the classical top-to-bottom / left-to-right-in-columns reading
+order. The cut itself is a pure per-document function (pages are small)
+run in Arrow batches via applyInPandas keyed on doc_id — the grouping
+shuffle is the only exchange; block geometry stays numpy inside the
+batch. PDF *decoding* (bytes → blocks) is a codec concern like the
+multimodal stubs; the layout algorithm and the Spark plumbing here are
+real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("x", T.DoubleType(), False),
+        T.StructField("y", T.DoubleType(), False),
+        T.StructField("w", T.DoubleType(), False),
+        T.StructField("h", T.DoubleType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+ORDERED_SCHEMA = T.StructType(
+    list(BLOCKS_SCHEMA.fields) + [T.StructField("order", T.IntegerType(), False)]
+)
+
+
+def xy_cut(boxes: np.ndarray, min_gap: float = 1.0) -> list[int]:
+    """Recursive XY-cut over (N, 4) xywh boxes → index permutation in
+    reading order. Splits on the widest whitespace gap, preferring
+    VERTICAL cuts (column detection) over horizontal, then recurses
+    left/top first."""
+    idx = np.arange(len(boxes))
+
+    def widest_gap(lo: np.ndarray, hi: np.ndarray) -> tuple[float, float]:
+        """(gap_width, cut_position) of the widest uncovered interval
+        strictly inside the projection of [lo, hi) intervals."""
+        order = np.argsort(lo)
+        best_w, best_at = 0.0, 0.0
+        cover = -np.inf
+        for i in order:
+            if cover > -np.inf and lo[i] - cover > best_w:
+                best_w, best_at = lo[i] - cover, (lo[i] + cover) / 2
+            cover = max(cover, hi[i])
+        return best_w, best_at
+
+    def rec(ids: np.ndarray) -> list[int]:
+        if len(ids) <= 1:
+            return ids.tolist()
+        b = boxes[ids]
+        # vertical cut (x gap → columns) wins ties: newspapers read
+        # column-by-column
+        vgap, vat = widest_gap(b[:, 0], b[:, 0] + b[:, 2])
+        hgap, hat = widest_gap(b[:, 1], b[:, 1] + b[:, 3])
+        if vgap >= min_gap and vgap >= hgap:
+            left = ids[b[:, 0] + b[:, 2] / 2 < vat]
+            right = ids[b[:, 0] + b[:, 2] / 2 >= vat]
+            if len(left) and len(right):
+                return rec(left) + rec(right)
+        if hgap >= min_gap:
+            top = ids[b[:, 1] + b[:, 3] / 2 < hat]
+            bottom = ids[b[:, 1] + b[:, 3] / 2 >= hat]
+            if len(top) and len(bottom):
+                return rec(top) + rec(bottom)
+        # atomic region: raster order
+        return ids[np.lexsort((b[:, 0], b[:, 1]))].tolist()
+
+    return rec(idx)
+
+
+def reading_order_blocks(blocks: DataFrame, min_gap: float = 1.0) -> DataFrame:
+    """(doc_id, block_id, x, y, w, h, text) → same + ``order`` (the
+    XY-cut reading position). One groupBy(doc_id) exchange; the cut runs
+    vectorized per page inside applyInPandas."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        boxes = pdf[["x", "y", "w", "h"]].to_numpy(dtype=np.float64)
+        perm = xy_cut(boxes, min_gap=min_gap)
+        out = pdf.iloc[perm].copy()
+        out["order"] = np.arange(len(out), dtype=np.int32)
+        return out
+
+    return blocks.groupBy("doc_id").applyInPandas(per_doc, schema=ORDERED_SCHEMA)
+
+
+def synth_blocks(
+    spark, sf_dir: str, n_columns: int = 2, rows_per_col: int = 4
+) -> DataFrame:
+    """Deterministic two-column page layout from the documents fixture:
+    document words are dealt into column-major blocks so the correct
+    XY-cut reading order is known by construction (column 0 top-to-
+    bottom, then column 1)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
+                words = text.split()
+                n_blocks = n_columns * rows_per_col
+                per = max(len(words) // n_blocks, 1)
+                bid = 0
+                for col in range(n_columns):
+                    for row in range(rows_per_col):
+                        chunk = words[bid * per : (bid + 1) * per]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "block_id": bid,
+                                "x": 10.0 + col * 120.0,
+                                "y": 10.0 + row * 40.0,
+                                "w": 100.0,
+                                "h": 30.0,
+                                "text": " ".join(chunk),
+                            }
+                        )
+                        bid += 1
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in BLOCKS_SCHEMA.fields]
+            )
+
+    return docs.mapInPandas(gen, schema=BLOCKS_SCHEMA)
