@@ -664,6 +664,21 @@ def q_media_context(spark, sf_dir):
     return media_context(spans).orderBy("doc_id", "offset")
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML boilerplate strip (DOM heuristics + density rule) → the
+    input_hint span table (rows-only: stdlib-HTMLParser walk is
+    UDF-side; exact-recovery gate lives in pytest)."""
+    from cor_asv_ann_spark.operators.html_extract import html_to_spans, synth_html
+
+    html = synth_html(spark, sf_dir)
+    spans = html_to_spans(html)
+    return spans.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.expr("filter(spans, s -> s.kind = 'media')")).cast("long").alias("n_media"),
+    ).orderBy("doc_id")
+
+
 def q_layout_reading_order(spark, sf_dir):
     """XY-cut layout analysis (north rule 'PDF/layout parse'): recursive
     whitespace-gap reading order over geometric blocks (rows-only:
@@ -788,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_groups": q_join_groups,
         "correct_glyph_level": q_correct_glyph_level,
         "media_context": q_media_context,
+        "html_extract": q_html_extract,
         "layout_reading_order": q_layout_reading_order,
         "correct_confmat": q_correct_confmat,
         "correct_h5_model": q_correct_h5_model,
