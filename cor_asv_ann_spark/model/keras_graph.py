@@ -305,6 +305,60 @@ class RefSeq2Seq:
                 X[b, j, self.c_i.get(ch, 0)] = 1.0
         return X, lens
 
+    def encode_problines(
+        self, texts: list[str], confs: list[list[float] | None]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encoding 2 (prob line): char index carries its confidence,
+        the rest of the mass goes to index 0 (seq2seq.py:953-955)."""
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        L = int(lens.max()) if len(lens) else 0
+        X = np.zeros((len(texts), L, self.voc_size), dtype=np.float32)
+        for b, (t, cs) in enumerate(zip(texts, confs)):
+            for j, ch in enumerate(t):
+                p = float(cs[j]) if cs is not None and j < len(cs) else 1.0
+                X[b, j, self.c_i.get(ch, 0)] = p
+                X[b, j, 0] += 1.0 - p
+        return X, lens
+
+    def encode_confmat(
+        self, confmats: list[list[list[tuple[str, float]]]]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encoding 3 (confusion network): chunks zero-padded to their
+        longest alternative, probability mass added at each alternative's
+        char positions (seq2seq.py:956-958, 1052-1082)."""
+        lens = []
+        rows: list[list[np.ndarray]] = []
+        for cm in confmats:
+            line_rows: list[np.ndarray] = []
+            for chunk in cm:
+                width = max((len(alt) for alt, _ in chunk), default=0)
+                block = np.zeros((width, self.voc_size), dtype=np.float32)
+                for alt, p in chunk:
+                    for k in range(width):
+                        idx = self.c_i.get(alt[k], 0) if k < len(alt) else 0
+                        block[k, idx] += p
+                line_rows.extend(block)
+            rows.append(line_rows)
+            lens.append(len(line_rows))
+        L = max(lens) if lens else 0
+        X = np.zeros((len(confmats), L, self.voc_size), dtype=np.float32)
+        for b, line_rows in enumerate(rows):
+            for j, r in enumerate(line_rows):
+                X[b, j, :] = r
+        return X, np.array(lens, dtype=np.int64)
+
+    def decode_greedy_prob(self, texts: list[str], confs: list[list[float] | None]):
+        if not texts:
+            return [], [], []
+        X, lens = self.encode_problines(texts, confs)
+        return self._decode_greedy_X(X, lens)
+
+    def decode_greedy_confmat(self, confmats):
+        if not confmats:
+            return [], [], []
+        X, lens = self.encode_confmat(confmats)
+        return self._decode_greedy_X(X, lens)
+
     def encode(self, X: np.ndarray):
         """(B,T,V) → (encoder output (B,T,enc_dim), [(h,c)] per layer)."""
         E = X @ self.embed
@@ -425,6 +479,9 @@ class RefSeq2Seq:
         if not texts:
             return [], [], []
         X, lens = self.encode_onehot(texts)
+        return self._decode_greedy_X(X, lens)
+
+    def _decode_greedy_X(self, X: np.ndarray, lens: np.ndarray):
         B, T, V = X.shape
         if T == 0:
             return [EOS] * B, [[1.0]] * B, [np.ones((1, 1), dtype=np.float32)] * B

@@ -195,6 +195,24 @@ def test_greedy_semantics_reference_parity(h5_model):
         assert o.count("\n") == 1 and o.endswith("\n")
 
 
+def test_ref_model_all_input_encodings(h5_model):
+    """The reference graph consumes all three input encodings
+    (SURVEY §1.2); full-confidence single-alternative confmat and
+    all-1.0 prob lines must decode exactly like plain one-hot."""
+    p, _ = h5_model
+    m = RefSeq2Seq.load_h5(p)
+    texts = ["abc\n", "hello\n"]
+    o1, _, _ = m.decode_greedy_batch(texts)
+    o2, _, _ = m.decode_greedy_confmat([[[(ch, 1.0)] for ch in t] for t in texts])
+    o3, _, _ = m.decode_greedy_prob(texts, [[1.0] * len(t) for t in texts])
+    assert o1 == o2 == o3
+    # degraded confidence changes the input tensor (mass shifts to
+    # index 0) — decoding may differ, but must stay deterministic
+    o4, _, _ = m.decode_greedy_prob(texts, [[0.5] * len(t) for t in texts])
+    o5, _, _ = m.decode_greedy_prob(texts, [[0.5] * len(t) for t in texts])
+    assert o4 == o5
+
+
 def test_ref_model_beam_decode(h5_model):
     """The h5-loaded reference graph supports the full beam (shared
     beam_search: rejection path, hypothesis-parallel steps). With a high
