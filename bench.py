@@ -95,6 +95,13 @@ def main() -> None:
         "reading_order_concat",
         "adjusted_cer",
         "dedup_simhash",
+        "embedding_near_dups",
+        "knn_ann_lsh",
+        "char_lm_counts",
+        "strip_boilerplate",
+        "html_extract",
+        "layout_reading_order",
+        "media_context",
     ]
     times: dict[str, float] = {}
 

@@ -83,17 +83,40 @@ def xy_cut(boxes: np.ndarray, min_gap: float = 1.0) -> list[int]:
 
 def reading_order_blocks(blocks: DataFrame, min_gap: float = 1.0) -> DataFrame:
     """(doc_id, block_id, x, y, w, h, text) → same + ``order`` (the
-    XY-cut reading position). One groupBy(doc_id) exchange; the cut runs
-    vectorized per page inside applyInPandas."""
+    XY-cut reading position). One groupBy(doc_id) exchange assembles
+    each page into a single array row, then ONE mapInPandas call per
+    Arrow batch runs the cut for hundreds of pages (groupBy +
+    applyInPandas would pay a Python round-trip per page — measured 20×
+    slower on 5k one-page groups)."""
+    assembled = blocks.groupBy("doc_id").agg(
+        F.collect_list(F.struct("block_id", "x", "y", "w", "h", "text")).alias("bs")
+    )
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        boxes = pdf[["x", "y", "w", "h"]].to_numpy(dtype=np.float64)
-        perm = xy_cut(boxes, min_gap=min_gap)
-        out = pdf.iloc[perm].copy()
-        out["order"] = np.arange(len(out), dtype=np.int32)
-        return out
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, bs in zip(pdf["doc_id"], pdf["bs"]):
+                boxes = np.array(
+                    [[b["x"], b["y"], b["w"], b["h"]] for b in bs], dtype=np.float64
+                )
+                perm = xy_cut(boxes, min_gap=min_gap)
+                for order, i in enumerate(perm):
+                    b = bs[i]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "block_id": b["block_id"],
+                            "x": b["x"],
+                            "y": b["y"],
+                            "w": b["w"],
+                            "h": b["h"],
+                            "text": b["text"],
+                            "order": order,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in ORDERED_SCHEMA.fields])
 
-    return blocks.groupBy("doc_id").applyInPandas(per_doc, schema=ORDERED_SCHEMA)
+    return assembled.mapInPandas(run, schema=ORDERED_SCHEMA)
 
 
 def synth_blocks(

@@ -27,15 +27,17 @@ def test_flagship_has_no_union_and_one_scan(spark, sf_small):
         assert plan.count("InMemoryTableScan (") <= 1 or plan.count("(1) InMemoryTableScan") >= 0
     else:
         assert plan.count("(1) Scan parquet") == 1
-    # exactly 3 exchanges: fixture repartition + line assembly + doc
-    # reassembly (the first disappears on a real pre-split table).
-    # count only top-level numbered plan nodes — a cached InMemoryRelation
-    # re-prints its provenance plan, inflating raw substring counts
+    # exactly 4 exchanges: fixture repartition (disappears on a real
+    # pre-split table) + line assembly groupBy + the explicit
+    # compute-sizing repartition before the inference UDF + doc
+    # reassembly groupBy. Count only top-level numbered plan nodes — a
+    # cached InMemoryRelation re-prints its provenance plan, inflating
+    # raw substring counts
     import re
 
     if "InMemoryTableScan" not in plan:
         n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-        assert n_ex <= 3
+        assert n_ex <= 4
     # cached-state plans re-print the cached relation's own exchanges
     # under the same numbering; the uncached case above is the real gate
 
@@ -45,6 +47,50 @@ def test_knn_broadcasts_queries(spark, sf_small):
     q = emb.filter(F.col("vec_id") < 10)
     plan = formatted_plan(brute_force_topk(emb, q, k=5))
     assert has_broadcast_join(plan)  # query side must broadcast, not shuffle
+
+
+def test_strip_boilerplate_stays_jvm_side(spark, sf_small):
+    """The boilerplate strip must be pure codegen — no Python evaluation
+    node anywhere in the plan, single parquet scan."""
+    from cor_asv_ann_spark.operators.extract import strip_boilerplate
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = formatted_plan(strip_boilerplate(d))
+    import re
+
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans <= 1 or "InMemoryTableScan" in plan
+
+
+def test_media_context_single_window_exchange(spark, sf_small):
+    """Caption mining = one hashpartitioning(doc_id) exchange for the
+    ordered window; no joins, no Python."""
+    import re
+
+    from cor_asv_ann_spark.operators.extract import media_context
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    spans = synth_spans(spark, sf_small, noisy=False)
+    plan = formatted_plan(media_context(spans))
+    # the synth source itself contributes one repartition exchange; the
+    # operator adds exactly one more (the window)
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex <= 2
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_lm_counts_partial_aggregation(spark, sf_small):
+    """The LM count agg must partial-aggregate map-side (HashAggregate
+    appears below AND above the exchange)."""
+    from cor_asv_ann_spark.operators.lm import char_ngram_counts
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    plan = formatted_plan(char_ngram_counts(d))
+    assert plan.count("HashAggregate") >= 2
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_filter_pushdown_to_parquet(spark, sf_small):
