@@ -64,9 +64,10 @@ def test_strip_boilerplate_stays_jvm_side(spark, sf_small):
     assert n_scans <= 1 or "InMemoryTableScan" in plan
 
 
-def test_media_context_single_window_exchange(spark, sf_small):
-    """Caption mining = one hashpartitioning(doc_id) exchange for the
-    ordered window; no joins, no Python."""
+def test_media_context_is_narrow(spark, sf_small):
+    """Caption mining = pure array HOFs on the per-document spans array:
+    ZERO operator-added exchanges (only the synth source's repartition),
+    no window, no join, no Python beyond the synth source."""
     import re
 
     from cor_asv_ann_spark.operators.extract import media_context
@@ -74,11 +75,9 @@ def test_media_context_single_window_exchange(spark, sf_small):
 
     spans = synth_spans(spark, sf_small, noisy=False)
     plan = formatted_plan(media_context(spans))
-    # the synth source itself contributes one repartition exchange; the
-    # operator adds exactly one more (the window)
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-    assert n_ex <= 2
-    assert "Window" in plan
+    assert n_ex <= 1  # the synthetic source's own repartition only
+    assert "Window" not in plan
     assert "Join" not in plan
 
 
