@@ -25,18 +25,22 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     JVM-side: each position i of every document emits its
     (preceding-(order−1)-chars, char) pair."""
     k = order - 1
+    # each position emits BOTH its (context, char) pair and the unigram
+    # ('', char) fallback row from ONE generate — a union of two branches
+    # would scan and re-split the corpus twice
     pairs = F.expr(
         f"""
-        transform(sequence(1, length({text_col})),
-                  i -> struct(substring({text_col}, greatest(i - {k}, 1),
-                                        least({k}, i - 1)) as ctx,
-                              substring({text_col}, i, 1) as ch))
+        flatten(transform(sequence(1, length({text_col})),
+                  i -> array(struct(substring({text_col}, greatest(i - {k}, 1),
+                                              least({k}, i - 1)) as ctx,
+                                    substring({text_col}, i, 1) as ch),
+                             struct('' as ctx,
+                                    substring({text_col}, i, 1) as ch))))
         """
     )
-    grams = docs.select(F.explode(pairs).alias("g")).select("g.ctx", "g.ch")
-    uni = grams.select(F.lit("").alias("ctx"), "ch")
     return (
-        grams.unionByName(uni)
+        docs.select(F.explode(pairs).alias("g"))
+        .select("g.ctx", "g.ch")
         .groupBy("ctx", "ch")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
