@@ -69,22 +69,31 @@ def run_resumable(
         t0 = time.time()
         bucketed = spans_df.filter(salt_bucket(F.col("doc_id"), n_buckets) == b)
         # correction (the dominant UDF/inference stage) runs EXACTLY ONCE
-        # per bucket: the corrected-line frame is persisted, and both the
-        # reassembled output write and the lineage metrics derive from it
+        # per bucket: the lineage metrics ride on the write job itself via
+        # observe() — no second pass and no persisted copy of the
+        # corrected frame (a cache of the full bucket would be the memory
+        # bottleneck at 10^12 docs). countDistinct is not allowed in an
+        # observation; n_docs comes from the reassembled frame where one
+        # row IS one doc.
+        from pyspark.sql import Observation
+
+        n_len = F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")
+        obs_lines = Observation()
+        obs_docs = Observation()
         lines = correct_lines(
             assemble_lines(spans_with_line_no(bucketed)), corrector
-        ).persist()
-        reassemble(lines).write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
-        m = lines.agg(
-            F.countDistinct("doc_id").alias("n_docs"),
+        ).observe(
+            obs_lines,
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")).alias("n_chars"),
-            F.sum(F.col("line_cer") * F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")).alias(
-                "sum_dist_w"
-            ),
+            F.sum(n_len).alias("n_chars"),
+            F.sum(F.col("line_cer") * n_len).alias("sum_dist_w"),
             F.avg("line_cer").alias("mean_cer"),
-        ).collect()[0]
-        lines.unpersist()
+        )
+        out = reassemble(lines).observe(
+            obs_docs, F.count(F.lit(1)).alias("n_docs")
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+        m = {**obs_lines.get, **obs_docs.get}
         wall = time.time() - t0
         append_lineage_row(
             spark,
@@ -92,13 +101,13 @@ def run_resumable(
             {
                 "run_id": run_id,
                 "bucket": b,
-                "n_docs": int(m.n_docs or 0),
-                "n_lines": int(m.n_lines or 0),
-                "n_chars": int(m.n_chars or 0),
-                "sum_dist": float(m.sum_dist_w or 0.0),
-                "cer": float(m.mean_cer) if m.mean_cer is not None else None,
+                "n_docs": int(m.get("n_docs") or 0),
+                "n_lines": int(m.get("n_lines") or 0),
+                "n_chars": int(m.get("n_chars") or 0),
+                "sum_dist": float(m.get("sum_dist_w") or 0.0),
+                "cer": float(m["mean_cer"]) if m.get("mean_cer") is not None else None,
                 "wall_sec": wall,
-                "docs_per_sec": (int(m.n_docs or 0) / wall) if wall > 0 else None,
+                "docs_per_sec": (int(m.get("n_docs") or 0) / wall) if wall > 0 else None,
                 "finished_at": datetime.datetime.now(datetime.timezone.utc),
             },
         )

@@ -33,6 +33,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus filter: keep exactly one row (min id) per normalized-text
+    fingerprint. A window rank over the hash key — one shuffle, no join
+    back (the groupBy+join formulation shuffles the corpus twice)."""
+    from pyspark.sql import Window
+
+    h = F.md5(normalized_text(F.col(text_col)))
+    w = Window.partitionBy(h).orderBy(id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct character n-grams over normalized text (JVM-side via
     transform/sequence)."""

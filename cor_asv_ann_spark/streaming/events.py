@@ -73,6 +73,7 @@ def streaming_dedup(
     docs_stream: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_ttl_minutes: int | None = None,
 ):
     """Stateful streaming exact-dedup: only the FIRST document bearing
     each content fingerprint survives, across micro-batches — the
@@ -80,16 +81,30 @@ def streaming_dedup(
     applyInPandasWithState (one tiny state row per fingerprint).
 
     At warehouse scale the state store is RocksDB-backed and the key
-    space is the md5 fingerprint (uniform, no skew by construction)."""
+    space is the md5 fingerprint (uniform, no skew by construction).
+    ``state_ttl_minutes`` bounds the state store on an unbounded stream:
+    a fingerprint not seen for the TTL is evicted (duplicates arriving
+    later than the TTL pass through again — the standard
+    state-size/recall trade at 10^12-key scale)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     hashed = docs_stream.withColumn(
         "fp", F.md5(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_minutes
+        else GroupStateTimeout.NoTimeout
+    )
 
     def keep_first(key, pdfs, state: GroupState):
+        if state_ttl_minutes and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
+            if state_ttl_minutes:
+                state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
             # key already surfaced in a prior micro-batch: drop everything
             for _ in pdfs:
                 pass
@@ -105,6 +120,8 @@ def streaming_dedup(
                     best = cand
         if best is not None:
             state.update((1,))
+            if state_ttl_minutes:
+                state.setTimeoutDuration(state_ttl_minutes * 60 * 1000)
             yield best[["fp", id_col]]
 
     return hashed.groupBy("fp").applyInPandasWithState(
@@ -112,7 +129,7 @@ def streaming_dedup(
         outputStructType=f"fp string, {id_col} string",
         stateStructType="n int",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

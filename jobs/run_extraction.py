@@ -42,7 +42,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from cor_asv_ann_spark.operators.correction import correct_pipeline
-    from cor_asv_ann_spark.operators.dedup import exact_dedup, minhash_dedup
+    from cor_asv_ann_spark.operators.dedup import drop_exact_dups, minhash_dedup
     from cor_asv_ann_spark.operators.html_extract import html_to_spans, synth_html
     from cor_asv_ann_spark.operators.textstats import lang_id, quality_score
     from cor_asv_ann_spark.session import build_session
@@ -80,15 +80,8 @@ def main() -> None:
     ).persist()
     n_extracted = docs.count()
 
-    # 3) dedup: drop exact-dup non-keepers, then MinHash near-dup pairs
-    exact = exact_dedup(docs, "text", "doc_id")
-    hashed = docs.select(
-        F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("h"), "doc_id"
-    )
-    keepers = hashed.join(
-        exact.select("h", "keeper"), "h", "left"
-    ).filter((F.col("keeper").isNull()) | (F.col("keeper") == F.col("doc_id")))
-    survivors = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    # 3) dedup: one-shuffle exact filter, then MinHash near-dup pairs
+    survivors = drop_exact_dups(docs, "text", "doc_id")
     near = minhash_dedup(
         survivors, "text", "doc_id", threshold=args.jaccard, max_bucket=50
     ).select(F.col("id_b").alias("doc_id")).distinct()

@@ -82,6 +82,21 @@ def test_brute_force_topk_exact(spark):
     assert all(r.query_id == 0 for r in top)
 
 
+def test_drop_exact_dups_keeps_min_id(spark):
+    from cor_asv_ann_spark.operators.dedup import drop_exact_dups
+
+    df = spark.createDataFrame(
+        [(2, "Same   Text"), (1, "same text"), (3, "other content")],
+        ["doc_id", "text"],
+    )
+    out = drop_exact_dups(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    # single shuffle: a window rank, no join back
+    from cor_asv_ann_spark.plans import formatted_plan
+
+    assert "Join" not in formatted_plan(out)
+
+
 def test_lsh_topk_recall_vs_brute_force(spark, sf_small):
     """Multi-band LSH must recover ≥0.9 of the exact top-k even on this
     worst-case fixture (near-orthogonal vectors, neighbor cosine ≈ 0.2 ⇒
