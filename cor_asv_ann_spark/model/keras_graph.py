@@ -49,6 +49,7 @@ def write_keras_fixture(
     seed: int = 7,
     bridge_dense: bool = False,
     residual: bool = False,
+    deep_bidirectional: bool = False,
 ) -> dict:
     """Write a seeded random model in the reference's exact HDF5 layout
     (Keras 2.x save_weights groups + the config group of
@@ -71,14 +72,14 @@ def write_keras_fixture(
             "bias:0": np.zeros(4 * W, dtype=np.float32),
         }
 
-    enc_dim = 2 * W if D == 1 else W
+    enc_dim = 2 * W if (D == 1 or deep_bidirectional) else W
     tree: dict = {
         "config": {
             "width": np.array(W),
             "depth": np.array(D),
             "stateful": np.array(False),
             "residual_connections": np.array(residual),
-            "deep_bidirectional_encoder": np.array(False),
+            "deep_bidirectional_encoder": np.array(deep_bidirectional),
             "bridge_dense": np.array(bridge_dense),
             "mapping": np.array(mapping, dtype=np.uint32),
         },
@@ -93,7 +94,17 @@ def write_keras_fixture(
     }
     layer_names = ["char_input_projection", "encoder_lstm_1"]
     for n in range(2, D + 1):
-        tree[f"encoder_lstm_{n}"] = {f"encoder_lstm_{n}": lstm(2 * W if n == 2 else W)}
+        if deep_bidirectional:
+            tree[f"encoder_lstm_{n}"] = {
+                f"encoder_lstm_{n}": {
+                    f"forward_encoder_lstm_{n}": lstm(2 * W),
+                    f"backward_encoder_lstm_{n}": lstm(2 * W),
+                }
+            }
+        else:
+            tree[f"encoder_lstm_{n}"] = {
+                f"encoder_lstm_{n}": lstm(2 * W if n == 2 else W)
+            }
         layer_names.append(f"encoder_lstm_{n}")
     if bridge_dense:
         for n in range(1, D + 1):
@@ -208,8 +219,12 @@ class RefSeq2Seq:
         self.depth = int(scalar(config["depth"]))
         self.residual = bool(scalar(config.get("residual_connections", False)))
         self.bridge = bool(scalar(config.get("bridge_dense", False)))
-        if bool(scalar(config.get("deep_bidirectional_encoder", False))):
-            raise NotImplementedError("deep_bidirectional_encoder graphs")
+        self.deep_bidi = bool(scalar(config.get("deep_bidirectional_encoder", False)))
+        if bool(scalar(config.get("stateful", False))):
+            # stateful models thread per-page line state through training
+            # continuation; the published models are stateless (their
+            # filenames literally carry ".stateless.")
+            raise NotImplementedError("stateful inference graphs")
         self.window = 5  # fixed in the reference (seq2seq.py:349)
         mapping = config["mapping"]  # uint32 codepoints, index 0 = ''
         self.c_i = {(chr(c) if c > 0 else ""): i for i, c in enumerate(mapping)}
@@ -228,14 +243,33 @@ class RefSeq2Seq:
             _find(enc1, "recurrent_kernel:0", "backward"),
             _find(enc1, "bias:0", "backward"),
         )
-        self.enc_stack = [
-            _LSTM(
-                _find(layers[f"encoder_lstm_{n}"], "kernel:0"),
-                _find(layers[f"encoder_lstm_{n}"], "recurrent_kernel:0"),
-                _find(layers[f"encoder_lstm_{n}"], "bias:0"),
-            )
-            for n in range(2, self.depth + 1)
-        ]
+        if self.deep_bidi:
+            # every encoder layer is Bidirectional over the cross_sum of
+            # the previous layer's fwd+bwd outputs (seq2seq.py:246-262)
+            self.enc_stack = [
+                (
+                    _LSTM(
+                        _find(layers[f"encoder_lstm_{n}"], "kernel:0", "forward"),
+                        _find(layers[f"encoder_lstm_{n}"], "recurrent_kernel:0", "forward"),
+                        _find(layers[f"encoder_lstm_{n}"], "bias:0", "forward"),
+                    ),
+                    _LSTM(
+                        _find(layers[f"encoder_lstm_{n}"], "kernel:0", "backward"),
+                        _find(layers[f"encoder_lstm_{n}"], "recurrent_kernel:0", "backward"),
+                        _find(layers[f"encoder_lstm_{n}"], "bias:0", "backward"),
+                    ),
+                )
+                for n in range(2, self.depth + 1)
+            ]
+        else:
+            self.enc_stack = [
+                _LSTM(
+                    _find(layers[f"encoder_lstm_{n}"], "kernel:0"),
+                    _find(layers[f"encoder_lstm_{n}"], "recurrent_kernel:0"),
+                    _find(layers[f"encoder_lstm_{n}"], "bias:0"),
+                )
+                for n in range(2, self.depth + 1)
+            ]
         self.bridges = []
         if self.bridge:
             for n in range(1, self.depth + 1):
@@ -359,6 +393,14 @@ class RefSeq2Seq:
         X, lens = self.encode_confmat(confmats)
         return self._decode_greedy_X(X, lens)
 
+    @staticmethod
+    def _cross_sum(x: np.ndarray) -> np.ndarray:
+        """i_next_fw[k] = i_next_bw[k] = o_fw[k-1] + o_bw[k-1]: the
+        reference's own numpy formula (seq2seq.py:247-252)."""
+        return x + np.flip(
+            x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), -1
+        ).reshape(x.shape)
+
     def encode(self, X: np.ndarray):
         """(B,T,V) → (encoder output (B,T,enc_dim), [(h,c)] per layer)."""
         E = X @ self.embed
@@ -368,7 +410,14 @@ class RefSeq2Seq:
         states = [(bh, bc)]  # backward states init decoder layer 1
         prev = out
         for n, layer in enumerate(self.enc_stack):
-            seq, sh, sc = layer.run(prev)
+            if self.deep_bidi:
+                fwd_l, bwd_l = layer
+                xin = self._cross_sum(prev)
+                f_seq, _, _ = fwd_l.run(xin)
+                b_seq, sh, sc = bwd_l.run(xin, reverse=True)
+                seq = np.concatenate([f_seq, b_seq], axis=-1)
+            else:
+                seq, sh, sc = layer.run(prev)
             if self.residual and n >= 1:
                 seq = seq + prev
             prev = seq

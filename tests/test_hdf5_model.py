@@ -182,6 +182,33 @@ def test_bridge_and_residual_load_paths(tmp_path):
     assert outs2 == outs
 
 
+def test_deep_bidirectional_encoder(tmp_path):
+    """deep_bidirectional_encoder graphs: every encoder layer is
+    Bidirectional over the cross_sum of the previous layer's outputs
+    (seq2seq.py:246-262); the attended context is 2W at any depth."""
+    import numpy as np
+
+    from cor_asv_ann_spark.model.keras_graph import write_keras_fixture
+
+    # the cross_sum formula pinned against the reference's own numpy
+    # comment: x + flip(reshape(x, (..., d/2, 2)), -1).reshape(x.shape)
+    x = np.arange(12, dtype=np.float64).reshape(1, 2, 6)
+    cs = RefSeq2Seq._cross_sum(x)
+    assert np.array_equal(cs[0, 0], [1, 1, 5, 5, 9, 9])  # pairwise sums
+
+    p = str(tmp_path / "deep.h5")
+    write_keras_fixture(p, width=16, depth=2, seed=5, deep_bidirectional=True)
+    m = RefSeq2Seq.load_h5(p)
+    assert m.deep_bidi
+    assert m.enc_stack[0][0].W.shape == (32, 64)  # fwd layer-2 eats 2W
+    assert m.dec_stack[-1].W.shape == (48, 64)  # top cell: W + 2W context
+    assert m.att_dense.shape == (32, 16)
+    outs, _, aligns = m.decode_greedy_batch(["abc def\n"])
+    assert outs[0].endswith("\n") and aligns[0].shape[1] == 8
+    outs2, _, _ = RefSeq2Seq.load_h5(p).decode_greedy_batch(["abc def\n"])
+    assert outs2 == outs
+
+
 def test_greedy_semantics_reference_parity(h5_model):
     """Loop semantics pinned to seq2seq.py:1242-1258: index 0 never
     emitted, per-line freeze after EOS, step cap 2×batch_length."""
