@@ -59,6 +59,7 @@ def make_model_corrector(
     model,
     beam: bool = False,
     beam_width: int = 4,
+    rejection_threshold: float = 0.3,
     use_conf: bool = False,
     use_confmat: bool = False,
     lm=None,
@@ -107,7 +108,10 @@ def make_model_corrector(
             # back so beam mode keeps the Viterbi segmentation path too.
             # lm (broadcast with the weights) reranks hypotheses
             outs, probs, aligns = m.decode_beam_batch(
-                list(texts), beam_width=beam_width, lm=_lm()
+                list(texts),
+                beam_width=beam_width,
+                rejection_threshold=rejection_threshold,
+                lm=_lm(),
             )
             paths = [
                 viterbi_path(al[:, : len(t)] if al.size else al)

@@ -439,6 +439,7 @@ class RefSeq2Seq:
         beam_width: int = 4,
         beam_width_out: int = 1,
         rejection_threshold: float = 0.3,
+        lm=None,
     ):
         """Beamed decode on the reference graph: batched encoder once,
         then per line a hypothesis-parallel beam (shared
@@ -512,6 +513,7 @@ class RefSeq2Seq:
                 batch_cap=max(beam_width, 4),
                 beam_width_out=max(beam_width_out, 1),
                 rejection_threshold=rejection_threshold,
+                lm_logprob=lm.logprob if lm is not None else None,
             )
             out, pr, _cost, al = finals[0]
             outs.append(out)
