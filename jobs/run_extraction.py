@@ -31,6 +31,7 @@ sys.path.insert(0, ".")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--html", help="parquet of (doc_id, html) pages")
+    ap.add_argument("--warc", help="WARC file(s)/glob (crawl segments, .warc or .warc.gz)")
     ap.add_argument("--sf-dir", help="synthesize HTML pages from this testdata dir")
     ap.add_argument("--output", required=True)
     ap.add_argument("--model", help=".h5 / .npz model weights (default: rule corrector)")
@@ -51,10 +52,14 @@ def main() -> None:
     spark = build_session(app="extraction", cpus=args.cpus)
     if args.html:
         pages = spark.read.parquet(args.html)
+    elif args.warc:
+        from cor_asv_ann_spark.sources.warc import read_warc_pages
+
+        pages = read_warc_pages(spark, args.warc)
     elif args.sf_dir:
         pages = synth_html(spark, args.sf_dir)
     else:
-        ap.error("one of --html / --sf-dir is required")
+        ap.error("one of --html / --warc / --sf-dir is required")
 
     corrector = None
     if args.model:
