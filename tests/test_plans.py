@@ -95,6 +95,38 @@ def test_lm_counts_partial_aggregation(spark, sf_small):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_small, tmp_path):
+    """Co-located join strategy for repeated big-big joins at scale:
+    both sides bucketed+sorted on the join key join with ZERO exchanges
+    (and zero sorts) — the physical property the engine relies on when
+    the span table and a lineage/metrics table are bucketed by doc_id
+    in the warehouse."""
+    import re
+
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    for name, cols in (("bkt_a", ["doc_id", "lang"]), ("bkt_b", ["doc_id", "n_chars"])):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            d.select(*cols)
+            .write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    try:
+        # MERGE hint: at fixture size Spark would broadcast (also
+        # shuffle-free but trivially so); the property under test is the
+        # bucketed sort-merge path big-big joins take at scale
+        j = spark.table("bkt_a").hint("merge").join(spark.table("bkt_b"), "doc_id")
+        plan = formatted_plan(j)
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 0
+        assert "SortMergeJoin" in plan
+        assert j.count() == d.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
 def test_filter_pushdown_to_parquet(spark, sf_small):
     d = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
         F.col("lang") == "de"
