@@ -119,6 +119,42 @@ def reading_order_blocks(blocks: DataFrame, min_gap: float = 1.0) -> DataFrame:
     return assembled.mapInPandas(run, schema=ORDERED_SCHEMA)
 
 
+def pdf_to_blocks(pdf_df: DataFrame, content_col: str = "content") -> DataFrame:
+    """(doc_id, content: binary) PDF pages → BLOCKS_SCHEMA rows.
+
+    STUB DECODE: no PDF codec ships in this container (same policy as
+    operators/multimodal.decode_stub — the Spark plumbing is real, the
+    byte-level codec is a stand-in). Each document deterministically
+    yields a fake single-column block list derived from its byte length,
+    so downstream reading_order_blocks / pipelines are exercised with
+    the true schema, partitioning and batch shapes. Swap the inner
+    ``_decode`` for pdfminer/pypdf output on a real deployment."""
+
+    def _decode(doc_id: str, content: bytes) -> list[dict]:
+        n_blocks = max(1, min(len(content) // 64, 8))
+        return [
+            {
+                "doc_id": doc_id,
+                "block_id": i,
+                "x": 10.0,
+                "y": 10.0 + i * 40.0,
+                "w": 100.0,
+                "h": 30.0,
+                "text": f"stub-block-{i} ({len(content)} bytes)",
+            }
+            for i in range(n_blocks)
+        ]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"].astype(str), pdf[content_col]):
+                rows.extend(_decode(doc_id, bytes(content)))
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return pdf_df.select("doc_id", content_col).mapInPandas(run, schema=BLOCKS_SCHEMA)
+
+
 def synth_blocks(
     spark, sf_dir: str, n_columns: int = 2, rows_per_col: int = 4
 ) -> DataFrame:

@@ -55,6 +55,23 @@ def test_xy_cut_header_spanning_columns():
     assert order[1:] == [0, 1]
 
 
+def test_pdf_stub_plumbing(spark):
+    """pdf_to_blocks: real schema/batching, honestly-stubbed codec."""
+    from cor_asv_ann_spark.operators.layout import pdf_to_blocks
+
+    df = spark.createDataFrame(
+        [("p1", bytearray(b"x" * 200)), ("p2", bytearray(b"y" * 40))],
+        "doc_id string, content binary",
+    )
+    rows = pdf_to_blocks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc["p1"]) == 3 and len(by_doc["p2"]) == 1
+    ordered = reading_order_blocks(pdf_to_blocks(df)).collect()
+    assert all(r.order == r.block_id for r in ordered)  # single column
+
+
 def test_reading_order_blocks_on_fixture(spark, sf_small):
     blocks = synth_blocks(spark, sf_small, n_columns=2, rows_per_col=4).filter(
         F.col("doc_id").cast("int") < 20
