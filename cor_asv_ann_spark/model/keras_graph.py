@@ -193,6 +193,20 @@ class _LSTM:
         return out, h, c
 
 
+def _split_attr(attrs: dict, name: str) -> list:
+    """Keras splits attributes larger than the 64 KB object-header limit
+    into ``name0``, ``name1``, … chunks (save_attributes_to_hdf5_group);
+    reassemble either form."""
+    if name in attrs:
+        return list(attrs[name])
+    out: list = []
+    i = 0
+    while f"{name}{i}" in attrs:
+        out.extend(attrs[f"{name}{i}"])
+        i += 1
+    return out
+
+
 def _layer_arrays(group: H5Group) -> dict[str, np.ndarray]:
     """All datasets under a Keras layer group keyed by their full
     relative path (e.g. 'forward_encoder_lstm_1/kernel:0')."""
@@ -305,7 +319,7 @@ class RefSeq2Seq:
     @classmethod
     def from_h5_group(cls, f: H5Group) -> "RefSeq2Seq":
         g = f
-        if "layer_names" not in f.attrs and "model_weights" in f:
+        if not _split_attr(f.attrs, "layer_names") and "model_weights" in f:
             g = f["model_weights"]  # whole-model save; weights nested
         cfg_grp = f["config"] if "config" in f else g["config"]
         config = {
@@ -313,7 +327,7 @@ class RefSeq2Seq:
         }
         layer_names = [
             b.decode() if isinstance(b, bytes) else str(b)
-            for b in g.attrs["layer_names"]
+            for b in _split_attr(g.attrs, "layer_names")
         ]
         layers = {name: _layer_arrays(g[name]) for name in layer_names if name in g}
         return cls(config, layers)

@@ -182,6 +182,21 @@ def test_bridge_and_residual_load_paths(tmp_path):
     assert outs2 == outs
 
 
+def test_split_layer_names_attr(h5_model):
+    """Keras chunks >64KB attrs into layer_names0/1/…
+    (save_attributes_to_hdf5_group); the loader must reassemble them —
+    big models hit this in the wild."""
+    p, _ = h5_model
+    base_out, _, _ = RefSeq2Seq.load_h5(p).decode_greedy_batch(["abc\n"])
+    f = read_h5(p)
+    names = list(f.attrs.pop("layer_names"))
+    f.attrs["layer_names0"] = np.array(names[:2])
+    f.attrs["layer_names1"] = np.array(names[2:])
+    m = RefSeq2Seq.from_h5_group(f)
+    out, _, _ = m.decode_greedy_batch(["abc\n"])
+    assert out == base_out
+
+
 def test_deep_bidirectional_encoder(tmp_path):
     """deep_bidirectional_encoder graphs: every encoder layer is
     Bidirectional over the cross_sum of the previous layer's outputs
