@@ -321,18 +321,32 @@ def train_distributed(
     epochs: int = 10,
     lr: float = 2e-3,
     chunk: int = 64,
+    length_bucket: bool = True,
 ) -> list[float]:
     """Synchronous data-parallel SGD: per epoch, broadcast the weights,
     compute per-partition (gradient sums, loss sum, count) over row
     chunks, treeAggregate to the driver, Adam-update, re-broadcast.
-    ``pairs_df``: DataFrame(source, target)."""
+    ``pairs_df``: DataFrame(source, target).
+
+    ``length_bucket`` range-partitions and sorts the pairs by source
+    length so every chunk is near-uniform — the reference's batching
+    discipline: minimal padding waste, and (because the backward
+    encoder half runs THROUGH padding) minimal padding-graph variance
+    across chunkings."""
+    from pyspark.sql import functions as F
+
     meta = {"vocab": model.vocab, "width": model.width, "depth": model.depth,
             "window": model.window}
     params = get_params(model)
     opt = Adam(params, lr=lr)
     losses = []
     sc = spark.sparkContext
-    rdd = pairs_df.select("source", "target").rdd.cache()
+    pairs_df = pairs_df.select("source", "target")
+    if length_bucket:
+        pairs_df = pairs_df.repartitionByRange(
+            max(sc.defaultParallelism, 2), F.length("source")
+        ).sortWithinPartitions(F.length("source"))
+    rdd = pairs_df.rdd.cache()
     for _ in range(epochs):
         bc = sc.broadcast(params)
 
