@@ -1149,8 +1149,10 @@ def oracle_sql() -> dict[str, str]:
             WITH grams AS (
               SELECT substr(text, greatest(i - 2, 1), least(2, i - 1)) AS ctx,
                      substr(text, i, 1) AS ch
-              FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
-            uni AS (SELECT '' AS ctx, ch FROM grams),
+              FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+              WHERE i > 1),
+            uni AS (SELECT '' AS ctx, substr(text, i, 1) AS ch
+                    FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
             allg AS (SELECT * FROM grams UNION ALL SELECT * FROM uni)
             SELECT ctx, ch, count(*) AS n FROM allg
             GROUP BY ctx, ch ORDER BY n DESC, ctx, ch LIMIT 50

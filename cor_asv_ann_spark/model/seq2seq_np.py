@@ -485,7 +485,10 @@ def beam_search(
     tiebreak = count()
 
     def pro_cost(cum: float, n_chars: int) -> float:
-        return cum + cost0 * abs(n_chars - max(src_len, 1))
+        # reference Node.length is root-inclusive (root length=1,
+        # seq2seq.py:1556), so a hypothesis with k emitted chars ranks as
+        # length k+1 against length0 = attended source length
+        return cum + cost0 * abs((n_chars + 1) - max(src_len, 1))
 
     root = {
         "cum": 0.0,
@@ -549,6 +552,12 @@ def beam_search(
             order = np.argsort(-p)
             highest = p[order[0]]
             beampos = min(int((p >= highest * beam_threshold).sum()), beam_width_in)
+            # soft feedback (reference compromise): children share the
+            # rejection-floored score vector, but each accepted sibling
+            # zeroes its index for the NEXT sibling ('only disable maxima
+            # iteratively', seq2seq.py:1515-1520) so non-best hypotheses'
+            # decoder feedback diverges exactly as the reference's does
+            pfeed = p.astype(np.float32)
             for pos, idx in enumerate(order, start=1):
                 idx = int(idx)
                 score = float(p[idx])
@@ -563,9 +572,8 @@ def beam_search(
                 if ch == "":
                     continue  # underspecified index 0
                 align1 = np.eye(Lb, dtype=np.float32)[source_pos] if is_rej else a
-                feed1 = p_all[i].copy()  # soft feedback (reference compromise)
-                if is_rej:
-                    feed1[rej_idx] = max(float(feed1[rej_idx]), rejection_threshold)
+                feed1 = pfeed.copy()
+                pfeed[idx] = 0.0
                 if lm_logprob is not None:
                     step_cost = -lm_logprob("".join(node["chars"]), ch)
                 else:

@@ -216,18 +216,14 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         # (total_tokens, bits) sign votes, reduced per document
         votes_tok = (2 * ((flat[:, None] >> shifts) & 1).astype(np.int64)) - 1
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        # reduceat needs strictly valid segment starts: empty docs share a
-        # start with their successor and are zeroed afterwards
-        seg_starts = np.minimum(starts, total - 1)
-        votes_doc = np.add.reduceat(votes_tok, seg_starts, axis=0)
-        # reduceat on duplicate/short segments over-counts empty docs:
-        # recompute them as zero and fix docs whose segment was merged
-        packed = ((votes_doc > 0).astype(np.int64) * weights).sum(axis=1)
-        packed[lens == 0] = 0
-        # duplicate seg_starts (from empty docs) make reduceat return the
-        # FOLLOWING doc's segment for the empty doc — zeroed above — and
-        # the true owner keeps its own correct reduction, so no other fix
-        # is needed
+        # reduceat over non-empty docs only: an empty doc's start equals
+        # its successor's (or total, past the end for a trailing empty
+        # doc), and clamping it would truncate the PRECEDING doc's
+        # segment — so reduce the valid segments and scatter back
+        nz = lens > 0
+        votes_doc = np.add.reduceat(votes_tok, starts[nz], axis=0)
+        packed = np.zeros(len(hs), dtype=np.int64)
+        packed[nz] = ((votes_doc > 0).astype(np.int64) * weights).sum(axis=1)
         return pd.Series(packed)
 
     return df.select(F.col(id_col), pack_votes(token_hashes).alias("simhash"))

@@ -27,15 +27,22 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     k = order - 1
     # each position emits BOTH its (context, char) pair and the unigram
     # ('', char) fallback row from ONE generate — a union of two branches
-    # would scan and re-split the corpus twice
+    # would scan and re-split the corpus twice. At i=1 the context branch
+    # already degenerates to ctx='' (zero-length substring), so the
+    # explicit unigram struct is emitted only for i>1 — otherwise the
+    # first character of every document would be double-counted in the
+    # '' context row.
     pairs = F.expr(
         f"""
         flatten(transform(sequence(1, length({text_col})),
-                  i -> array(struct(substring({text_col}, greatest(i - {k}, 1),
-                                              least({k}, i - 1)) as ctx,
-                                    substring({text_col}, i, 1) as ch),
-                             struct('' as ctx,
-                                    substring({text_col}, i, 1) as ch))))
+                  i -> if(i > 1,
+                          array(struct(substring({text_col}, greatest(i - {k}, 1),
+                                                 least({k}, i - 1)) as ctx,
+                                       substring({text_col}, i, 1) as ch),
+                                struct('' as ctx,
+                                       substring({text_col}, i, 1) as ch)),
+                          array(struct('' as ctx,
+                                       substring({text_col}, i, 1) as ch)))))
         """
     )
     return (

@@ -96,12 +96,17 @@ def main() -> None:
         F.col("target").alias("gt_text"),
         F.regexp_replace("source", r"\n$", "").alias("ocr_text"),
     )
+    def rounded(x):
+        # cer_of is None on empty pair files / null aggregates — report
+        # null instead of crashing the job on round(None, 6)
+        return round(x, 6) if x is not None else None
+
     report = {
         "n_lines": pairs.count(),
-        "cer_source": round(cer_of(baseline), 6),
+        "cer_source": rounded(cer_of(baseline)),
     }
     greedy = decoded_frame(beam=False).persist()
-    report["cer_greedy"] = round(cer_of(greedy), 6)
+    report["cer_greedy"] = rounded(cer_of(greedy))
     if args.confusion:
         report["confusions"] = [
             [r.src, r.tgt, r.n]
@@ -109,7 +114,7 @@ def main() -> None:
         ]
     greedy.unpersist()
     if args.beam:
-        report["cer_beam"] = round(cer_of(decoded_frame(beam=True)), 6)
+        report["cer_beam"] = rounded(cer_of(decoded_frame(beam=True)))
     print(json.dumps(report))
     spark.stop()
 

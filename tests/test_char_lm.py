@@ -13,11 +13,14 @@ from cor_asv_ann_spark.operators.lm import CharNgramLM, char_ngram_counts, train
 def test_ngram_counts(spark):
     docs = spark.createDataFrame([Row(text="abab")])
     rows = {(r.ctx, r.ch): r.n for r in char_ngram_counts(docs, order=3).collect()}
-    # trigram contexts: ''→a (pos1), 'a'→b (pos2), 'ab'→a (pos3), 'ba'→b (pos4)
+    # trigram contexts (i>1 only): 'a'→b (pos2), 'ab'→a (pos3), 'ba'→b (pos4)
     assert rows[("ab", "a")] == 1 and rows[("ba", "b")] == 1
-    # unigram fallback row per char occurrence
-    assert rows[("", "a")] == 2 + 1  # 2 unigram emissions + the pos-1 empty ctx
+    # unigram fallback row per char occurrence — exactly once per char:
+    # pos-1's degenerate empty context must NOT double-count the first char
+    assert rows[("", "a")] == 2
     assert rows[("", "b")] == 2
+    # no stray empty-context rows beyond the unigram ones
+    assert sum(n for (ctx, _), n in rows.items() if ctx == "") == 4
 
 
 def test_lm_scoring_backoff(spark):

@@ -67,6 +67,29 @@ def test_simhash_deterministic_across_partitions(docs, spark):
     assert a == b
 
 
+def test_simhash_empty_docs_do_not_corrupt_neighbors(spark):
+    """Empty/whitespace-only docs anywhere in an Arrow batch — including
+    the TRAILING position, whose clamped reduceat start used to truncate
+    the preceding doc's vote segment — must leave every other doc's
+    simhash identical to a batch without them."""
+    base = [(i, f"some distinct document text number {i} with words") for i in range(6)]
+    with_empties = base + [(100, ""), (101, "   ")]
+    # single partition forces one Arrow batch where empties sort last
+    clean = spark.createDataFrame(base, ["doc_id", "text"]).coalesce(1)
+    dirty = spark.createDataFrame(with_empties, ["doc_id", "text"]).coalesce(1)
+    a = {r.doc_id: r.simhash for r in simhash(clean).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(dirty).collect()}
+    for i in range(6):
+        assert a[i] == b[i], f"doc {i} simhash corrupted by empty neighbors"
+    assert b[100] == 0 and b[101] == 0
+    # empty doc in the middle of the batch too
+    mid = base[:3] + [(200, "")] + base[3:]
+    c = {r.doc_id: r.simhash for r in simhash(
+        spark.createDataFrame(mid, ["doc_id", "text"]).coalesce(1)).collect()}
+    for i in range(6):
+        assert a[i] == c[i]
+
+
 def test_brute_force_topk_exact(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0]),
