@@ -49,6 +49,82 @@ def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEGRADE_SPARK = lambda c: F.translate(c, "etaoins", "cl4o1m5")  # noqa: E731
 _DEGRADE_SQL = "translate(text, 'etaoins', 'cl4o1m5')"
 
+# Degradation for the alignment-based confusion query: the replacement
+# symbols are DISJOINT from the corpus alphabet, which makes difflib's
+# alignment provably positional (every longest match is an unchanged run
+# at identical positions — a crossing match of length k would imply an
+# equal-length positional match at a lower index, which wins the
+# tie-break), so the UDF confusion counts equal a plain positional
+# character diff that DuckDB can replicate.
+_CONFUSE_SPARK = lambda c: F.translate(c, "etaoins", "€†‡•¶§µ")  # noqa: E731
+
+# Materialized span fixtures for the DuckDB oracles: the UDF-side span
+# synthesis is written ONCE per (sf, channel, level) as parquet; the Spark
+# query reads it back (a real S1 scan) and the oracle reads the same files
+# with read_parquet — both engines see byte-identical input, so the
+# relational/pipeline layers above it are genuinely cross-checked.
+_ORACLE_DIR = "/root/repo/spark-warehouse/_oracle"
+_MATERIALIZED: set[str] = set()
+
+
+def _mat_spans(spark: SparkSession, sf_dir: str, noisy: bool = False, level: str = "word") -> str:
+    import os
+
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"{base}_{'noisy' if noisy else 'gt'}_{level}"
+    path = f"{_ORACLE_DIR}/spans_{tag}"
+    if tag not in _MATERIALIZED:
+        synth_spans(spark, sf_dir, noisy=noisy, level=level).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _MATERIALIZED.add(tag)
+    return path
+
+
+def _read_spans(spark: SparkSession, path: str):
+    from cor_asv_ann_spark.sources.spans import read_spans
+
+    return read_spans(spark, path)
+
+
+# the oracle SQL strings are static — they point at the sf0.01 fixtures the
+# driver's correctness gate materializes through the queries() callables
+_OSP = {
+    ("gt", "word"): f"{_ORACLE_DIR}/spans_sf0.01_gt_word/*.parquet",
+    ("noisy", "word"): f"{_ORACLE_DIR}/spans_sf0.01_noisy_word/*.parquet",
+    ("gt", "glyph"): f"{_ORACLE_DIR}/spans_sf0.01_gt_glyph/*.parquet",
+    ("noisy", "glyph"): f"{_ORACLE_DIR}/spans_sf0.01_noisy_glyph/*.parquet",
+}
+
+# reusable oracle CTE: nested spans parquet → (doc_id, kind, text,
+# media_ref, off) span grain
+def _sql_spans(path: str, alias: str) -> str:
+    return (
+        f"{alias} AS (SELECT doc_id, u.s.kind AS kind, u.s.text AS text,"
+        f" u.s.media_ref AS media_ref, u.s.offset AS off"
+        f" FROM read_parquet('{path}'), unnest(spans) AS u(s))"
+    )
+
+
+# reusable oracle CTE: span grain → (doc_id, line_no, line_text) with the
+# engine's line rule (line_no = newlines before the span; the newline
+# belongs to its own line)
+def _sql_lines(spans_alias: str, alias: str) -> str:
+    return f"""
+        {alias} AS (
+          SELECT doc_id, CAST(coalesce(ln, 0) AS BIGINT) AS line_no,
+                 string_agg(text, '' ORDER BY off) AS line_text
+          FROM (
+            SELECT doc_id, off, text,
+                   sum(CASE WHEN kind = 'newline' THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY off
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ln
+            FROM {spans_alias})
+          GROUP BY doc_id, coalesce(ln, 0))
+    """
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: correct the reversibly-degraded interleaved span table
@@ -549,125 +625,219 @@ def q_events_pivot(spark, sf_dir):
 
 
 def q_correct_spans_pipeline(spark, sf_dir):
-    """Flagship correction pipeline at sf_dir scale (rows-only: the
-    span-sequence-equality gate lives in pytest)."""
+    """Flagship correction pipeline: noisy spans in → corrected spans out,
+    exploded to span grain. The oracle is the materialized GT span table —
+    the driver's value hash IS the north-rule span-sequence-equality check
+    (kind, text, media_ref, order), end to end through the reversible
+    noise channel and the charmap corrector."""
     from cor_asv_ann_spark.operators.correction import correct_pipeline
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
-    noisy = synth_spans(spark, sf_dir, noisy=True)
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True))
+    _mat_spans(spark, sf_dir, noisy=False)  # GT side for the oracle
     out = correct_pipeline(noisy)
-    return out.select("doc_id", F.size("spans").alias("n_spans"))
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("long").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
 
 
 def q_adjusted_cer(spark, sf_dir):
     """F2: exact adjusted distance (grapheme recombination + historic
-    equivalence) via pandas UDF — not SQL-expressible."""
+    equivalence) via pandas UDF. The degradation s→ſ, r→ꝛ sits inside the
+    historic_latin L2 equivalences, so the adjusted distance must be
+    exactly zero and the path length the codepoint length — which the
+    DuckDB oracle states directly (length() is codepoint-based in both)."""
     from cor_asv_ann_spark.operators.evaluate import cer_aggregate, with_adjusted_distance
 
-    d = _docs(spark, sf_dir).limit(200)
+    d = _docs(spark, sf_dir)
     pairs = d.select(
         "lang",
         F.col("text").alias("gt_text"),
         F.translate(F.col("text"), "sr", "ſꝛ").alias("ocr_text"),
     )
     scored = with_adjusted_distance(pairs, normalization="historic_latin", gt_level=1)
-    return cer_aggregate(scored, "lang").orderBy("lang")
+    a = cer_aggregate(scored, "lang")
+    return a.select(
+        "lang",
+        "n_lines",
+        F.round("sum_dist", 6).alias("sum_dist"),
+        F.col("sum_len").cast("long").alias("sum_len"),
+        F.round("mean_rate", 6).alias("mean_rate"),
+        F.round("var_rate", 6).alias("var_rate"),
+        F.round("cer", 6).alias("cer"),
+    ).orderBy("lang")
 
 
 def q_confusion_topk(spark, sf_dir):
-    """A2: alignment-based confusion table (difflib semantics, UDF)."""
+    """A2: alignment-based confusion table (difflib UDF). With the
+    disjoint-symbol degradation the alignment is provably positional (see
+    _CONFUSE_SPARK), so the oracle is a per-position character diff."""
     from cor_asv_ann_spark.operators.evaluate import confusion_topk
 
-    d = _docs(spark, sf_dir).limit(200)
+    d = _docs(spark, sf_dir)
     pairs = d.select(
-        F.col("text").alias("gt_text"), _DEGRADE_SPARK(F.col("text")).alias("ocr_text")
+        F.col("text").alias("gt_text"), _CONFUSE_SPARK(F.col("text")).alias("ocr_text")
     )
-    return confusion_topk(pairs, k=10)
+    return confusion_topk(pairs, k=10).select(
+        "src", "tgt", F.col("n").cast("long").alias("n")
+    )
 
 
 def q_wer_corpus(spark, sf_dir):
-    """F5+F2: word error rate over UAX#29 tokens (UDF)."""
+    """F5+F2: word error rate over UAX#29 tokens (UDF). The 1:1 translate
+    degradation preserves token boundaries and counts, so the alignment is
+    positional and the oracle recomputes dist/length from a positional
+    token diff (verified equal over the whole fixture corpus)."""
     from cor_asv_ann_spark.operators.evaluate import cer_aggregate, wer_pairs
 
-    d = _docs(spark, sf_dir).limit(200)
+    d = _docs(spark, sf_dir)
     pairs = d.select(
         F.col("text").alias("gt_text"), _DEGRADE_SPARK(F.col("text")).alias("ocr_text")
     )
-    return cer_aggregate(wer_pairs(pairs)).withColumnRenamed("cer", "wer")
+    a = cer_aggregate(wer_pairs(pairs))
+    return a.select(
+        "n_lines",
+        F.round("sum_dist", 6).alias("sum_dist"),
+        F.col("sum_len").cast("long").alias("sum_len"),
+        F.round("mean_rate", 6).alias("mean_rate"),
+        F.round("var_rate", 6).alias("var_rate"),
+        F.round("cer", 6).alias("wer"),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 is engine-specific → rows-only)."""
+    """SimHash near-dup pairs. The portable md5-derived 32-bit token hash
+    (minhash's trick) makes the full vote → pack → chunk-band → hamming
+    pipeline reproducible in the DuckDB oracle."""
     from cor_asv_ann_spark.operators.dedup import simhash, simhash_near_pairs
 
     d = _docs(spark, sf_dir)
-    return simhash_near_pairs(simhash(d, "text", "doc_id"), "doc_id", max_hamming=6).orderBy(
-        "id_a", "id_b"
+    pairs = simhash_near_pairs(
+        simhash(d, "text", "doc_id", portable=True), "doc_id", max_hamming=6
     )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 def q_compare_runs(spark, sf_dir):
     """scripts/compare.py analogue: line-level diff of two span tables
-    (rows-only: spans synthesis is UDF-side)."""
+    over the materialized fixtures. The oracle rebuilds both line tables
+    and the full-outer equality join in SQL (the `dist` column stays in
+    the operator + pytest: DuckDB's levenshtein is byte-based and the
+    noisy channel is non-ASCII)."""
     from cor_asv_ann_spark.operators.train_charmap import compare_runs
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
-    gt = synth_spans(spark, sf_dir, noisy=False)
-    noisy = synth_spans(spark, sf_dir, noisy=True)
-    return compare_runs(gt, noisy, "gt", "ocr").orderBy("doc_id", "line_no")
+    gt = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=False))
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True))
+    return (
+        compare_runs(gt, noisy, "gt", "ocr")
+        .select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            "text_gt",
+            "text_ocr",
+            "equal",
+        )
+        .orderBy("doc_id", "line_no")
+    )
 
 
 def q_align_vote(spark, sf_dir):
     """N-way align + majority vote across annotation groups (J1+J2+F10,
-    the cor-asv-ann-align capability) — UDF alignment, rows-only."""
+    the cor-asv-ann-align capability). With groups [gt, noisy, gt] the
+    2-of-3 majority must reproduce GT exactly — which the oracle states
+    from the materialized GT lines (voted_conf stays UDF-side/pytest)."""
     from cor_asv_ann_spark.operators.align_groups import align_vote_groups
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
-    gt = synth_spans(spark, sf_dir, noisy=False)
-    noisy = synth_spans(spark, sf_dir, noisy=True)
-    return align_vote_groups([gt, noisy, gt], method="majority").orderBy(
-        "doc_id", "line_no"
+    gt = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=False))
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True))
+    return (
+        align_vote_groups([gt, noisy, gt], method="majority")
+        .select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            "voted_text",
+            F.col("n_inputs").cast("long").alias("n_inputs"),
+        )
+        .orderBy("doc_id", "line_no")
     )
 
 
 def q_join_groups(spark, sf_dir):
     """TextEquiv concatenation across groups with provenance (U3, the
-    cor-asv-ann-join capability) — spans synthesis is UDF, rows-only."""
+    cor-asv-ann-join capability) over the materialized fixtures; the
+    oracle rebuilds the union + per-line alternative aggregation."""
     from cor_asv_ann_spark.operators.align_groups import join_group_texts
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
-    gt = synth_spans(spark, sf_dir, noisy=False)
-    noisy = synth_spans(spark, sf_dir, noisy=True)
-    return join_group_texts([gt, noisy]).select(
-        "doc_id", "line_no", "n_alternatives"
-    ).orderBy("doc_id", "line_no")
+    gt = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=False))
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True))
+    return (
+        join_group_texts([gt, noisy])
+        .select(
+            "doc_id",
+            F.col("line_no").cast("long").alias("line_no"),
+            F.expr("array_join(transform(alternatives, a -> a.text), '||')").alias(
+                "alt_texts"
+            ),
+            F.col("n_alternatives").cast("long").alias("n_alternatives"),
+        )
+        .orderBy("doc_id", "line_no")
+    )
 
 
 def q_correct_glyph_level(spark, sf_dir):
-    """Glyph-grain correction (P1 level select) — rows-only."""
+    """Glyph-grain correction (P1 level select), exploded to span grain;
+    oracle = the materialized glyph-level GT span table (span-sequence
+    equality at the finest hierarchy level)."""
     from cor_asv_ann_spark.operators.correction import correct_pipeline
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
-    noisy = synth_spans(spark, sf_dir, noisy=True, level="glyph")
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True, level="glyph"))
+    _mat_spans(spark, sf_dir, noisy=False, level="glyph")
     out = correct_pipeline(noisy)
-    return out.select("doc_id", F.size("spans").alias("n_spans"))
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("long").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
 
 
 def q_media_context(spark, sf_dir):
     """Caption mining over the interleaved payload: per media span the
-    surrounding word context in reading order (rows-only: spans
-    synthesis is UDF-side)."""
+    surrounding word context in reading order. Oracle: window/list
+    reconstruction over the materialized GT spans."""
     from cor_asv_ann_spark.operators.extract import media_context
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
-    spans = synth_spans(spark, sf_dir, noisy=False)
-    return media_context(spans).orderBy("doc_id", "offset")
+    spans = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=False))
+    return media_context(spans).select(
+        "doc_id",
+        "media_ref",
+        F.col("offset").cast("long").alias("offset"),
+        "context_before",
+        "context_after",
+    ).orderBy("doc_id", "offset")
 
 
 def q_html_extract(spark, sf_dir):
     """HTML boilerplate strip (DOM heuristics + density rule) → the
-    input_hint span table (rows-only: stdlib-HTMLParser walk is
-    UDF-side; exact-recovery gate lives in pytest)."""
+    input_hint span table. The synthesized pages derive deterministically
+    from documents.text, so the per-doc span/media counts after the
+    25-char density rule are recomputable in pure SQL — the oracle
+    re-derives the paragraph chunking and the kept-block span arithmetic
+    independently of the HTMLParser walk."""
     from cor_asv_ann_spark.operators.html_extract import html_to_spans, synth_html
 
     html = synth_html(spark, sf_dir)
@@ -681,32 +851,48 @@ def q_html_extract(spark, sf_dir):
 
 def q_layout_reading_order(spark, sf_dir):
     """XY-cut layout analysis (north rule 'PDF/layout parse'): recursive
-    whitespace-gap reading order over geometric blocks (rows-only:
-    recursive algorithm, not SQL-expressible; correctness pinned in
-    pytest against a known column-major layout)."""
+    whitespace-gap reading order over geometric blocks. synth_blocks
+    deals words into a column-major 2×4 grid, so the correct XY-cut
+    output order equals block_id by construction — which the oracle
+    states directly per document."""
     from cor_asv_ann_spark.operators.layout import reading_order_blocks, synth_blocks
 
     blocks = synth_blocks(spark, sf_dir, n_columns=2, rows_per_col=4)
     return reading_order_blocks(blocks).select(
-        "doc_id", "block_id", F.col("order").cast("long").alias("order")
+        "doc_id",
+        F.col("block_id").cast("long").alias("block_id"),
+        F.col("order").cast("long").alias("order"),
     ).orderBy("doc_id", "order")
 
 
 def q_correct_confmat(spark, sf_dir):
     """Encoding 3 (confusion network): glyph-level spans corrected via
     the confmat channel (multi-TextEquiv alternatives, the reference
-    flagship's input — wrapper/transcode.py:236-277). Rows-only: the
-    exact span-sequence-equality gate lives in pytest."""
+    flagship's input — wrapper/transcode.py:236-277). The confmat's GT
+    alternative carries the higher probability, so argmax over the
+    network must reproduce the GT glyph span table exactly — the same
+    materialized oracle as correct_glyph_level."""
     from cor_asv_ann_spark.operators.correction import (
         confmat_argmax_corrector,
         correct_pipeline,
     )
-    from cor_asv_ann_spark.sources.spans import synth_confmat, synth_spans
+    from cor_asv_ann_spark.sources.spans import synth_confmat
 
-    noisy = synth_spans(spark, sf_dir, noisy=True, level="glyph")
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True, level="glyph"))
+    _mat_spans(spark, sf_dir, noisy=False, level="glyph")
     cm = synth_confmat(spark, sf_dir)
     out = correct_pipeline(noisy, corrector=confmat_argmax_corrector, confmat_df=cm)
-    return out.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("long").alias("offset"),
+        )
+        .orderBy("doc_id", "offset")
+    )
 
 
 def q_correct_h5_model(spark, sf_dir):
@@ -792,7 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "topk_per_group": q_topk_per_group,
         "events_pivot": q_events_pivot,
-        # UDF / pipeline (rows-only)
+        # UDF / pipeline — oracle-checked via materialized span fixtures
+        # or invariant-stating SQL (see each query's docstring)
         "correct_spans_pipeline": q_correct_spans_pipeline,
         "adjusted_cer": q_adjusted_cer,
         "confusion_topk": q_confusion_topk,
@@ -806,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "layout_reading_order": q_layout_reading_order,
         "correct_confmat": q_correct_confmat,
+        # rows-only: genuinely engine-specific (random-weight neural
+        # decode; seeded-Gaussian LSH planes)
         "correct_h5_model": q_correct_h5_model,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ann_lsh": q_knn_ann_lsh,
@@ -1173,5 +1362,174 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # --- materialized-fixture / invariant oracles (round 3) ------------
+        "correct_spans_pipeline": f"""
+            WITH {_sql_spans(_OSP[("gt", "word")], "s")}
+            SELECT doc_id, kind, text, media_ref, CAST(off AS BIGINT) AS "offset"
+            FROM s ORDER BY doc_id, "offset"
+        """,
+        "correct_glyph_level": f"""
+            WITH {_sql_spans(_OSP[("gt", "glyph")], "s")}
+            SELECT doc_id, kind, text, media_ref, CAST(off AS BIGINT) AS "offset"
+            FROM s ORDER BY doc_id, "offset"
+        """,
+        "correct_confmat": f"""
+            WITH {_sql_spans(_OSP[("gt", "glyph")], "s")}
+            SELECT doc_id, kind, text, media_ref, CAST(off AS BIGINT) AS "offset"
+            FROM s ORDER BY doc_id, "offset"
+        """,
+        "compare_runs": f"""
+            WITH {_sql_spans(_OSP[("gt", "word")], "sg")},
+                 {_sql_spans(_OSP[("noisy", "word")], "sn")},
+                 {_sql_lines("sg", "lg")},
+                 {_sql_lines("sn", "ln_")}
+            SELECT coalesce(lg.doc_id, ln_.doc_id) AS doc_id,
+                   coalesce(lg.line_no, ln_.line_no) AS line_no,
+                   lg.line_text AS text_gt,
+                   ln_.line_text AS text_ocr,
+                   coalesce(lg.line_text, '') = coalesce(ln_.line_text, '') AS equal
+            FROM lg FULL OUTER JOIN ln_
+              ON lg.doc_id = ln_.doc_id AND lg.line_no = ln_.line_no
+            ORDER BY doc_id, line_no
+        """,
+        "align_vote": f"""
+            WITH {_sql_spans(_OSP[("gt", "word")], "sg")},
+                 {_sql_lines("sg", "lg")}
+            SELECT doc_id, line_no, line_text AS voted_text,
+                   CAST(CASE WHEN line_text = '' THEN 0 ELSE 3 END AS BIGINT) AS n_inputs
+            FROM lg ORDER BY doc_id, line_no
+        """,
+        "join_groups": f"""
+            WITH {_sql_spans(_OSP[("gt", "word")], "sg")},
+                 {_sql_spans(_OSP[("noisy", "word")], "sn")},
+                 {_sql_lines("sg", "lg")},
+                 {_sql_lines("sn", "ln_")},
+                 u AS (SELECT doc_id, line_no, line_text AS text, 0 AS grp FROM lg
+                       UNION ALL
+                       SELECT doc_id, line_no, line_text AS text, 1 AS grp FROM ln_)
+            SELECT doc_id, line_no,
+                   string_agg(text, '||' ORDER BY grp, text) AS alt_texts,
+                   CAST(count(*) AS BIGINT) AS n_alternatives
+            FROM u GROUP BY doc_id, line_no ORDER BY doc_id, line_no
+        """,
+        "media_context": f"""
+            WITH {_sql_spans(_OSP[("gt", "word")], "s")},
+            words AS (
+              SELECT doc_id, off, text,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY off) AS wpos
+              FROM s WHERE kind = 'word'),
+            media AS (
+              SELECT m.doc_id, m.media_ref, m.off,
+                     (SELECT count(*) FROM words w
+                      WHERE w.doc_id = m.doc_id AND w.off < m.off) AS nw
+              FROM s m WHERE m.kind = 'media')
+            SELECT m.doc_id, m.media_ref, CAST(m.off AS BIGINT) AS "offset",
+                   coalesce((SELECT string_agg(w.text, ' ' ORDER BY w.wpos)
+                             FROM words w WHERE w.doc_id = m.doc_id
+                               AND w.wpos > m.nw - 5 AND w.wpos <= m.nw), '')
+                     AS context_before,
+                   coalesce((SELECT string_agg(w.text, ' ' ORDER BY w.wpos)
+                             FROM words w WHERE w.doc_id = m.doc_id
+                               AND w.wpos > m.nw AND w.wpos <= m.nw + 5), '')
+                     AS context_after
+            FROM media m ORDER BY doc_id, "offset"
+        """,
+        "adjusted_cer": """
+            SELECT lang, count(*) AS n_lines, 0.0 AS sum_dist,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_len,
+                   0.0 AS mean_rate, 0.0 AS var_rate, 0.0 AS cer
+            FROM documents WHERE length(text) > 0
+            GROUP BY lang ORDER BY lang
+        """,
+        "confusion_topk": """
+            WITH pos AS (
+              SELECT substr(translate(text, 'etaoins', '€†‡•¶§µ'), i, 1) AS src,
+                     substr(text, i, 1) AS tgt
+              FROM documents, unnest(range(1, length(text) + 1)) AS t(i))
+            SELECT src, tgt, count(*) AS n FROM pos
+            WHERE src <> tgt
+            GROUP BY src, tgt ORDER BY n DESC, src, tgt LIMIT 10
+        """,
+        "wer_corpus": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                regexp_extract_all(text,
+                  '[\p{L}\p{M}\p{N}]+(?:[''’\-][\p{L}\p{M}\p{N}]+)*') AS tw,
+                regexp_extract_all(translate(text, 'etaoins', 'cl4o1m5'),
+                  '[\p{L}\p{M}\p{N}]+(?:[''’\-][\p{L}\p{M}\p{N}]+)*') AS sw
+              FROM documents),
+            per AS (
+              SELECT doc_id,
+                CAST((SELECT count(*) FROM unnest(range(1, len(tw) + 1)) AS u(i)
+                      WHERE tw[CAST(i AS INT)] <> sw[CAST(i AS INT)]) AS DOUBLE) AS dist,
+                len(tw) AS length
+              FROM tok WHERE len(tw) > 0)
+            SELECT count(*) AS n_lines,
+                   round(sum(dist), 6) AS sum_dist,
+                   CAST(sum(length) AS BIGINT) AS sum_len,
+                   round(sum(dist) / sum(length), 6) AS mean_rate,
+                   round(sum(dist * dist / length) / sum(length)
+                         - (sum(dist) / sum(length)) * (sum(dist) / sum(length)), 6)
+                     AS var_rate,
+                   round(sum(dist) / sum(length), 6) AS wer
+            FROM per
+        """,
+        "dedup_simhash": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS tok
+              FROM documents,
+                   unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS u(t)
+              WHERE t <> ''),
+            h AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+                  FROM toks),
+            votes AS (
+              SELECT doc_id, CAST(b.b AS INT) AS bit,
+                     sum(CASE WHEN (hv >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h, (SELECT unnest(range(32)) AS b) b
+              GROUP BY doc_id, b.b),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+              FROM votes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b
+              ON a.doc_id < b.doc_id
+             AND ((a.simhash & 255) = (b.simhash & 255)
+               OR ((a.simhash >> 8) & 255) = ((b.simhash >> 8) & 255)
+               OR ((a.simhash >> 16) & 255) = ((b.simhash >> 16) & 255)
+               OR ((a.simhash >> 24) & 255) = ((b.simhash >> 24) & 255))
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY id_a, id_b
+        """,
+        "html_extract": r"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_extract_all(text, '\S+') AS ws FROM documents),
+            paras AS (
+              SELECT doc_id,
+                     ws[CAST(p * 20 + 1 AS INT):CAST(p * 20 + 20 AS INT)] AS pw
+              FROM d, unnest(range(CAST(ceil(greatest(len(ws), 1) / 20.0) AS BIGINT))) AS t(p)),
+            kept AS (
+              SELECT doc_id, CAST(sum(2 * len(pw)) AS BIGINT) AS s
+              FROM paras
+              WHERE length(array_to_string(pw, ' ')) >= 25
+              GROUP BY doc_id),
+            fig AS (SELECT CAST(len(string_split(
+              'figure: caption text that is long enough to keep around here', ' '))
+              AS BIGINT) AS fw)
+            SELECT d.doc_id,
+                   CAST(coalesce(k.s, 0) + 2 * fig.fw + 1 AS BIGINT) AS n_spans,
+                   CAST(1 AS BIGINT) AS n_media
+            FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id, fig
+            ORDER BY d.doc_id
+        """,
+        "layout_reading_order": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(i AS BIGINT) AS block_id, CAST(i AS BIGINT) AS "order"
+            FROM documents, unnest(range(8)) AS t(i)
+            ORDER BY doc_id, "order"
         """,
     }

@@ -41,16 +41,20 @@ def flagship_docs_per_sec(
     return time.time() - t0, n_docs
 
 
+def make_scaling_model():
+    from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel, make_vocab
+
+    vocab = make_vocab(set("abcdefghijklmnopqrstuvwxyz0123456789äöüſꝛʒ .-\n"))
+    return Seq2SeqModel(vocab, width=96, depth=2, seed=42)
+
+
 def make_scaling_corrector(spark):
     """Model-backed corrector for the scaling measurement: numpy LSTM
     decode is the production-realistic compute (the rule corrector is so
     cheap that fixed per-stage overhead dominates and masks scaling)."""
     from cor_asv_ann_spark.model.corrector import make_model_corrector
-    from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel, make_vocab
 
-    vocab = make_vocab(set("abcdefghijklmnopqrstuvwxyz0123456789äöüſꝛʒ .-\n"))
-    model = Seq2SeqModel(vocab, width=96, depth=2, seed=42)
-    return make_model_corrector(spark, model)
+    return make_model_corrector(spark, make_scaling_model())
 
 
 def main() -> None:
@@ -110,6 +114,32 @@ def main() -> None:
     times["correction_pipeline"] = round(wall, 3)
     docs_per_sec = n_docs / wall if wall > 0 else None
 
+    # beamed flagship (the reference's opt-in ~10× path, README "up to
+    # ten times less CPU" for greedy): model corrector with cross-line
+    # lockstep beam, measured on a bounded doc subset so the suite stays
+    # minutes, reported as its own docs/s
+    beam_docs = int(os.environ.get("SPARK_GRAFT_BEAM_DOCS", "192"))
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.model.corrector import make_model_corrector
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    beam_corr = make_model_corrector(
+        spark, make_scaling_model(), beam=True, beam_width=4
+    )
+    noisy_sub = synth_spans(spark, SF_DIR, noisy=True).limit(beam_docs)
+    t0 = time.time()
+    n_beam = (
+        correct_pipeline(noisy_sub, corrector=beam_corr)
+        .select(F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+        .n
+    )
+    beam_wall = time.time() - t0
+    times[f"correction_beam_{beam_docs}"] = round(beam_wall, 3)
+    docs_per_sec_beam = n_beam / beam_wall if beam_wall > 0 else None
+
     for name in bench_queries:
         fn = qdefs[name]
         t0 = time.time()
@@ -124,6 +154,7 @@ def main() -> None:
         "queries": times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec_correction": round(docs_per_sec, 1) if docs_per_sec else None,
+        "docs_per_sec_beam": round(docs_per_sec_beam, 1) if docs_per_sec_beam else None,
         "n_docs": n_docs,
         "cpus": CPUS,
     }

@@ -456,10 +456,12 @@ class RefSeq2Seq:
         lm=None,
     ):
         """Beamed decode on the reference graph: batched encoder once,
-        then per line a hypothesis-parallel beam (shared
-        :func:`beam_search` — rejection path, variable width,
-        prospective-cost ranking). Same contract as greedy."""
-        from .seq2seq_np import beam_search
+        then ALL lines' beams expand in lockstep — one stacked decoder
+        step per iteration over every line's active hypotheses (shared
+        :func:`beam_search_multi` — rejection path, variable width,
+        prospective-cost ranking; per-line trajectories bit-identical to
+        the per-line formulation). Same contract as greedy."""
+        from .seq2seq_np import beam_search_multi
 
         if not texts:
             return [], [], []
@@ -468,67 +470,75 @@ class RefSeq2Seq:
         if T == 0:
             return [EOS] * B_all, [[1.0]] * B_all, [np.ones((1, 1), dtype=np.float32)] * B_all
         enc_full, states_full = self.encode(X)
-        steps_all = np.arange(T, dtype=np.float32)
-        outs, probs, aligns = [], [], []
-        for b in range(B_all):
-            Lb = max(int(lens[b]), 1)
-            enc_out = enc_full[b : b + 1, :Lb]
-            u = enc_out @ self.att_dense
-            steps_idx = steps_all[:Lb]
+        Lbs = [max(int(l), 1) for l in lens]
+        Lmax = max(Lbs)
+        lens_arr = np.array(Lbs, dtype=np.int64)
+        enc_t = enc_full[:, :Lmax]
+        u_t = enc_t @ self.att_dense
+        steps_idx = np.arange(Lmax, dtype=np.float32)
 
-            def step(feed, states, prev_a, enc_out=enc_out, u=u, steps_idx=steps_idx, Lb=Lb):
-                x = feed @ self.embed
-                layer_in = x
-                h_new, c_new = [], []
-                for n in range(self.depth - 1):
-                    hn, cn = self.dec_stack[n].step(
-                        layer_in,
-                        np.stack([s[0][n] for s in states]),
-                        np.stack([s[1][n] for s in states]),
-                    )
-                    h_new.append(hn)
-                    c_new.append(cn)
-                    layer_in = hn + layer_in if (self.residual and n > 0) else hn
-                h_top = np.stack([s[0][-1] for s in states])
-                c_top = np.stack([s[1][-1] for s in states])
-                w = h_top @ self.W_a + self.b_UW
-                e = np.exp(np.tanh(w[:, None, :] + u) @ self.v_a + self.b_v)
-                if self.window > 0:
-                    timestep = prev_a @ steps_idx + 1.0
-                    local = np.abs(timestep[:, None] - steps_idx[None, :]) < self.window
-                    e = e * local
-                a = e / np.maximum(e.sum(axis=1, keepdims=True), 1e-30)
-                ctx = (a[:, :, None] * enc_out).sum(axis=1)
-                cell_in = np.concatenate([layer_in, ctx], axis=-1)
-                h2, c2 = self.dec_stack[-1].step(cell_in, h_top, c_top)
-                h_new.append(h2)
-                c_new.append(c2)
-                out = h2 + layer_in if (self.residual and self.depth > 1) else h2
-                p = _softmax(out @ self.embed.T, axis=-1)
-                p[:, 0] = 0.0
-                new_states = [
-                    ([hd[i] for hd in h_new], [cd[i] for cd in c_new])
-                    for i in range(len(states))
-                ]
-                return p, a, new_states
+        def step(feed, states, prev_a, line_ids):
+            x = feed @ self.embed
+            layer_in = x
+            h_new, c_new = [], []
+            for n in range(self.depth - 1):
+                hn, cn = self.dec_stack[n].step(
+                    layer_in,
+                    np.stack([s[0][n] for s in states]),
+                    np.stack([s[1][n] for s in states]),
+                )
+                h_new.append(hn)
+                c_new.append(cn)
+                layer_in = hn + layer_in if (self.residual and n > 0) else hn
+            h_top = np.stack([s[0][-1] for s in states])
+            c_top = np.stack([s[1][-1] for s in states])
+            w = h_top @ self.W_a + self.b_UW
+            e = np.exp(np.tanh(w[:, None, :] + u_t[line_ids]) @ self.v_a + self.b_v)
+            if self.window > 0:
+                timestep = prev_a @ steps_idx + 1.0
+                local = np.abs(timestep[:, None] - steps_idx[None, :]) < self.window
+                e = e * local
+            # the reference graph has no padding mask; the per-line path
+            # sliced enc to Lb — zeroing padded energies reproduces the
+            # sliced computation exactly (zero weight, zero context terms)
+            e = e * (np.arange(Lmax)[None, :] < lens_arr[line_ids][:, None])
+            a = e / np.maximum(e.sum(axis=1, keepdims=True), 1e-30)
+            ctx = (a[:, :, None] * enc_t[line_ids]).sum(axis=1)
+            cell_in = np.concatenate([layer_in, ctx], axis=-1)
+            h2, c2 = self.dec_stack[-1].step(cell_in, h_top, c_top)
+            h_new.append(h2)
+            c_new.append(c2)
+            out = h2 + layer_in if (self.residual and self.depth > 1) else h2
+            p = _softmax(out @ self.embed.T, axis=-1)
+            p[:, 0] = 0.0
+            new_states = [
+                ([hd[i] for hd in h_new], [cd[i] for cd in c_new])
+                for i in range(len(states))
+            ]
+            return p, a, new_states
 
-            init_state = (
+        init_states = [
+            (
                 [states_full[n][0][b] for n in range(self.depth)],
                 [states_full[n][1][b] for n in range(self.depth)],
             )
-            finals = beam_search(
-                step,
-                init_state,
-                X[b, :Lb],
-                int(lens[b]),
-                self.i_c,
-                self.voc_size,
-                Lb,
-                batch_cap=max(beam_width, 4),
-                beam_width_out=max(beam_width_out, 1),
-                rejection_threshold=rejection_threshold,
-                lm_logprob=lm.logprob if lm is not None else None,
-            )
+            for b in range(B_all)
+        ]
+        finals_per_line = beam_search_multi(
+            step,
+            init_states,
+            [X[b, : Lbs[b]] for b in range(B_all)],
+            [int(l) for l in lens],
+            self.i_c,
+            self.voc_size,
+            Lbs,
+            batch_cap=max(beam_width, 4),
+            beam_width_out=max(beam_width_out, 1),
+            rejection_threshold=rejection_threshold,
+            lm_logprob=lm.logprob if lm is not None else None,
+        )
+        outs, probs, aligns = [], [], []
+        for finals in finals_per_line:
             out, pr, _cost, al = finals[0]
             outs.append(out)
             probs.append(pr)

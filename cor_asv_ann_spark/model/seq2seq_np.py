@@ -322,11 +322,16 @@ class Seq2SeqModel:
     ):
         """Beamed analogue of decode_greedy_batch: the encoder runs ONCE
         on the whole padded batch (as the reference does before looping
-        decode_sequence_beam per line, seq2seq.py:1310-1320), then each
-        line's beam expands with hypothesis-parallel decoder steps.
-        Returns (texts, probs, soft alignments) of each line's best
-        final — same contract as greedy, so beam mode keeps the Viterbi
-        segmentation path."""
+        decode_sequence_beam per line, seq2seq.py:1310-1320), and the
+        beams of ALL lines expand in lockstep — every decoder step is one
+        stacked matmul over every line's ≤batch_cap active hypotheses
+        (:func:`beam_search_multi`), amortizing the numpy GEMMs
+        ~n_lines× over a per-line loop while each line's search is
+        bit-for-bit the single-line algorithm (pinned by
+        test_encodings_beam batch-vs-single parity). Returns (texts,
+        probs, soft alignments) of each line's best final — same
+        contract as greedy, so beam mode keeps the Viterbi segmentation
+        path."""
         if not texts:
             return [], [], []
         X, lens = self.encode_onehot(texts)
@@ -334,18 +339,59 @@ class Seq2SeqModel:
             B = len(texts)
             return [EOS] * B, [[1.0]] * B, [np.ones((1, 1), dtype=np.float32)] * B
         enc = self.encode(X)
+        enc_proj = enc @ self.att_We
+        Lbs = [max(int(l), 1) for l in lens]
+        Lmax = max(Lbs)
+        lens_arr = np.array(Lbs, dtype=np.int64)
+        enc_t, proj_t = enc[:, :Lmax], enc_proj[:, :Lmax]
+        pos_idx = np.arange(Lmax)
+
+        def step(feed, states, prev_a, line_ids):
+            B = feed.shape[0]
+            x = feed @ self.embed
+            hs, cs = [], []
+            for d in range(self.depth):
+                hd, cd = self.dec_stack[d].step(
+                    x,
+                    np.stack([s[0][d] for s in states]),
+                    np.stack([s[1][d] for s in states]),
+                )
+                hs.append(hd)
+                cs.append(cd)
+                x = hd
+            line_lens = lens_arr[line_ids]
+            # padding mask reproduces the sliced per-line attention exactly:
+            # masked energies underflow to 0 in the softmax and padded
+            # context terms are exact zeros
+            mask = pos_idx[None, :] < line_lens[:, None]
+            center = np.minimum(prev_a.argmax(axis=1) + 1, line_lens - 1)
+            ctx, a_all = self._attend(x, proj_t[line_ids], enc_t[line_ids], mask, center)
+            p_all = _softmax(self._project(x, ctx), axis=-1)
+            p_all[:, UNK_IDX] = 0.0
+            new_states = [
+                ([hd[i] for hd in hs], [cd[i] for cd in cs]) for i in range(B)
+            ]
+            return p_all, a_all, new_states
+
+        zero_state = lambda: (  # noqa: E731
+            [np.zeros(self.width, dtype=np.float32) for _ in self.dec_stack],
+            [np.zeros(self.width, dtype=np.float32) for _ in self.dec_stack],
+        )
+        finals_per_line = beam_search_multi(
+            step,
+            [zero_state() for _ in texts],
+            [X[b, : Lbs[b]] for b in range(len(texts))],
+            [int(l) for l in lens],
+            self.inv_vocab,
+            self.voc_size,
+            Lbs,
+            batch_cap=max(beam_width, 4),
+            beam_width_out=max(beam_width_out, 1),
+            rejection_threshold=rejection_threshold,
+            lm_logprob=lm.logprob if lm is not None else None,
+        )
         outs, probs, aligns = [], [], []
-        for b in range(len(texts)):
-            Lb = max(int(lens[b]), 1)
-            finals = self._beam_line(
-                enc[b : b + 1, :Lb],
-                X[b, :Lb],
-                src_len=int(lens[b]),
-                batch_cap=max(beam_width, 4),
-                beam_width_out=max(beam_width_out, 1),
-                rejection_threshold=rejection_threshold,
-                lm_logprob=lm.logprob if lm is not None else None,
-            )
+        for finals in finals_per_line:
             out, pr, _cost, al = finals[0]
             outs.append(out)
             probs.append(pr)
@@ -443,6 +489,28 @@ def beam_search(
     inv_vocab: dict[int, str],
     voc_size: int,
     Lb: int,
+    **kwargs,
+) -> list[tuple[str, list[float], float, np.ndarray]]:
+    """Model-agnostic A*-like beam over ONE line — thin wrapper around
+    :func:`beam_search_multi` with a single line (``step_fn`` keeps the
+    3-argument per-line signature)."""
+
+    def sf(feed, states, prev_a, line_ids):
+        return step_fn(feed, states, prev_a)
+
+    return beam_search_multi(
+        sf, [init_state], [src_onehot], [src_len], inv_vocab, voc_size, [Lb], **kwargs
+    )[0]
+
+
+def beam_search_multi(
+    step_fn,
+    init_states: list,
+    src_onehots: list,
+    src_lens: list,
+    inv_vocab: dict[int, str],
+    voc_size: int,
+    Lbs: list,
     batch_cap: int = 8,
     beam_width_in: int = 15,
     beam_threshold: float = 0.2,
@@ -450,9 +518,18 @@ def beam_search(
     rejection_threshold: float = 0.3,
     cost0: float = 3.0,
     lm_logprob=None,
-) -> list[tuple[str, list[float], float, np.ndarray]]:
-    """Model-agnostic A*-like beam over one line (reference
-    decode_sequence_beam, seq2seq.py:1356-1544):
+) -> list[list[tuple[str, list[float], float, np.ndarray]]]:
+    """Model-agnostic A*-like beam (reference decode_sequence_beam,
+    seq2seq.py:1356-1544), vectorized ACROSS LINES: every line of the
+    Arrow batch advances in lockstep and all lines' ≤``batch_cap`` best
+    active hypotheses are stacked into ONE ``step_fn`` call per
+    iteration — amortizing the decoder matmuls ~n_lines× over the
+    per-line formulation while each line's search trajectory (pops,
+    expansions, tiebreaks) is exactly the single-line algorithm's.
+
+    ``step_fn(feed (N,V), states (len N), prev_a (N,Lmax), line_ids (N,))
+    -> (p (N,V), a (N,Lmax), states)`` where row i belongs to line
+    ``line_ids[i]``; alignment rows are sliced back to each line's Lb.
 
     ``lm_logprob(history, ch) -> float`` switches hypothesis RANKING to
     a language model while the decoder still drives candidate selection
@@ -481,50 +558,85 @@ def beam_search(
     import heapq
     from itertools import count
 
-    arange_l = np.arange(Lb, dtype=np.float64)
-    tiebreak = count()
+    n_lines = len(src_lens)
+    Lmax = max(Lbs) if Lbs else 1
 
-    def pro_cost(cum: float, n_chars: int) -> float:
-        # reference Node.length is root-inclusive (root length=1,
-        # seq2seq.py:1556), so a hypothesis with k emitted chars ranks as
-        # length k+1 against length0 = attended source length
-        return cum + cost0 * abs((n_chars + 1) - max(src_len, 1))
-
-    root = {
-        "cum": 0.0,
-        "chars": [],
-        "probs": [],
-        "aligns": [],
-        "state": init_state,
-        "feed": np.zeros(voc_size, dtype=np.float32),
-        "prev_a": np.zeros(Lb, dtype=np.float32),
-        "was_reject": False,
-    }
-    next_beam = [(pro_cost(0.0, 0), next(tiebreak), root)]
-    finals: list[tuple[float, int, dict]] = []
-    max_batches = 2 * max(src_len, 1)
-    for _ in range(max_batches):
-        beam = []
-        while next_beam and len(beam) < batch_cap:
-            pc, tb, node = heapq.heappop(next_beam)
-            if node["chars"] and node["chars"][-1] == EOS:
-                heapq.heappush(finals, (pc, tb, node))
-            else:
-                beam.append(node)
-        if not beam:
-            break
-        if len(finals) > beam_width_out and finals[0][0] < pro_cost(
-            beam[0]["cum"], len(beam[0]["chars"])
-        ):
-            break  # best final already beats the best active hypothesis
-        p_all, a_all, new_states = step_fn(
-            np.stack([n["feed"] for n in beam]),
-            [n["state"] for n in beam],
-            np.stack([n["prev_a"] for n in beam]),
+    class _Line:
+        __slots__ = (
+            "Lb", "src_len", "src_onehot", "arange_l", "tiebreak",
+            "next_beam", "finals", "iters", "max_batches", "done", "root",
         )
-        for i, node in enumerate(beam):
+
+        def __init__(self, li: int):
+            self.Lb = Lbs[li]
+            self.src_len = src_lens[li]
+            self.src_onehot = src_onehots[li]
+            self.arange_l = np.arange(self.Lb, dtype=np.float64)
+            self.tiebreak = count()
+            self.root = {
+                "cum": 0.0,
+                "chars": [],
+                "probs": [],
+                "aligns": [],
+                "state": init_states[li],
+                "feed": np.zeros(voc_size, dtype=np.float32),
+                "prev_a": np.zeros(self.Lb, dtype=np.float32),
+                "was_reject": False,
+            }
+            self.next_beam = [(self.pro_cost(0.0, 0), next(self.tiebreak), self.root)]
+            self.finals: list[tuple[float, int, dict]] = []
+            self.iters = 0
+            self.max_batches = 2 * max(self.src_len, 1)
+            self.done = False
+
+        def pro_cost(self, cum: float, n_chars: int) -> float:
+            # reference Node.length is root-inclusive (root length=1,
+            # seq2seq.py:1556), so a hypothesis with k emitted chars ranks
+            # as length k+1 against length0 = attended source length
+            return cum + cost0 * abs((n_chars + 1) - max(self.src_len, 1))
+
+    lines = [_Line(li) for li in range(n_lines)]
+    while True:
+        entries: list[tuple[int, dict]] = []
+        for li, st in enumerate(lines):
+            if st.done:
+                continue
+            if st.iters >= st.max_batches:
+                st.done = True
+                continue
+            st.iters += 1
+            beam = []
+            while st.next_beam and len(beam) < batch_cap:
+                pc, tb, node = heapq.heappop(st.next_beam)
+                if node["chars"] and node["chars"][-1] == EOS:
+                    heapq.heappush(st.finals, (pc, tb, node))
+                else:
+                    beam.append(node)
+            if not beam:
+                st.done = True
+                continue
+            if len(st.finals) > beam_width_out and st.finals[0][0] < st.pro_cost(
+                beam[0]["cum"], len(beam[0]["chars"])
+            ):
+                st.done = True  # best final already beats the best active
+                continue
+            entries.extend((li, node) for node in beam)
+        if not entries:
+            break
+        prev_pad = np.zeros((len(entries), Lmax), dtype=np.float32)
+        for i, (li, node) in enumerate(entries):
+            prev_pad[i, : lines[li].Lb] = node["prev_a"]
+        p_all, a_all, new_states = step_fn(
+            np.stack([n["feed"] for _, n in entries]),
+            [n["state"] for _, n in entries],
+            prev_pad,
+            np.array([li for li, _ in entries], dtype=np.int64),
+        )
+        for i, (li, node) in enumerate(entries):
+            st = lines[li]
+            Lb, src_onehot, arange_l = st.Lb, st.src_onehot, st.arange_l
             p = p_all[i].astype(np.float64).copy()
-            a = a_all[i]
+            a = a_all[i][:Lb]
             n_chars = len(node["chars"])
             # estimate the current source position for rejection
             prev_a = node["prev_a"]
@@ -589,34 +701,42 @@ def beam_search(
                     "was_reject": is_rej,
                 }
                 heapq.heappush(
-                    next_beam,
-                    (pro_cost(child["cum"], len(child["chars"])), next(tiebreak), child),
+                    st.next_beam,
+                    (
+                        st.pro_cost(child["cum"], len(child["chars"])),
+                        next(st.tiebreak),
+                        child,
+                    ),
                 )
                 if is_rej:
                     rej_idx = None
-        # bound the open set (reference: keep only the processable best)
-        if len(next_beam) > max_batches * batch_cap:
-            next_beam = heapq.nsmallest(max_batches * batch_cap, next_beam)
-            heapq.heapify(next_beam)
+        # bound each line's open set (reference: keep the processable best)
+        for st in lines:
+            if len(st.next_beam) > st.max_batches * batch_cap:
+                st.next_beam = heapq.nsmallest(st.max_batches * batch_cap, st.next_beam)
+                heapq.heapify(st.next_beam)
 
-    def node_result(node: dict) -> tuple[str, list[float], float, np.ndarray]:
+    def node_result(st: "_Line", node: dict) -> tuple[str, list[float], float, np.ndarray]:
         chars, pr = list(node["chars"]), list(node["probs"])
         al = list(node["aligns"])
         if not chars or chars[-1] != EOS:
             chars.append(EOS)
             pr.append(1.0)
-            al.append(al[-1] if al else np.ones(Lb, dtype=np.float32) / Lb)
+            al.append(al[-1] if al else np.ones(st.Lb, dtype=np.float32) / st.Lb)
         return "".join(chars), pr, node["cum"], np.stack(al)
 
-    results = []
-    while finals and len(results) < beam_width_out:
-        _, _, node = heapq.heappop(finals)
-        results.append(node_result(node))
-    if not results:
-        # no final within limits: emit the best active hypothesis
-        best = min(next_beam, key=lambda t: t[0])[2] if next_beam else root
-        results.append(node_result(best))
-    return results
+    all_results = []
+    for st in lines:
+        results = []
+        while st.finals and len(results) < beam_width_out:
+            _, _, node = heapq.heappop(st.finals)
+            results.append(node_result(st, node))
+        if not results:
+            # no final within limits: emit the best active hypothesis
+            best = min(st.next_beam, key=lambda t: t[0])[2] if st.next_beam else st.root
+            results.append(node_result(st, best))
+        all_results.append(results)
+    return all_results
 
 
 def viterbi_path(soft_alignment: np.ndarray, min_score: float | None = None) -> dict[int, int]:

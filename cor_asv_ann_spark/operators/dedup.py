@@ -187,20 +187,35 @@ def minhash_dedup(
     return ngram_jaccard_pairs(sh, cand, id_col, threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = True,
+) -> DataFrame:
     """SimHash: per-token 32-bit hash votes → sign per bit → packed int.
 
-    Tokenization and the per-token hash stay JVM-side (xxhash64 —
-    engine-specific, so this op is rows-only in the oracle check); the
-    bit-vote/pack step is a vectorized numpy pandas UDF: one
-    (total_tokens, bits) bit matrix per Arrow batch reduced per document
-    with add.reduceat. (The previous all-JVM nested-HOF vote built a
-    fresh 32-element array per token per doc — measured ~2× slower and
-    allocation-bound.)"""
-    token_hashes = F.expr(
-        f"transform(filter(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '),"
-        f" x -> x != ''), t -> xxhash64(t))"
-    )
+    Tokenization and the per-token hash stay JVM-side; the bit-vote/pack
+    step is a vectorized numpy pandas UDF: one (total_tokens, bits) bit
+    matrix per Arrow batch reduced per document with add.reduceat. (The
+    previous all-JVM nested-HOF vote built a fresh 32-element array per
+    token per doc — measured ~2× slower and allocation-bound.)
+
+    ``portable=True`` (default) derives the 32-bit token hash from md5 —
+    the same trick as ``minhash_signature`` — so any ANSI engine (the
+    DuckDB oracle) reproduces the exact simhash values. ``portable=False``
+    uses xxhash64 (cheaper at 100 TB, engine-specific)."""
+    if portable:
+        token_hashes = F.expr(
+            f"transform(filter(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '),"
+            f" x -> x != ''), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+        )
+    else:
+        token_hashes = F.expr(
+            f"transform(filter(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '),"
+            f" x -> x != ''), t -> xxhash64(t))"
+        )
 
     @F.pandas_udf(T.LongType())
     def pack_votes(hs: pd.Series) -> pd.Series:
