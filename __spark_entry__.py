@@ -66,6 +66,11 @@ _CONFUSE_SPARK = lambda c: F.translate(c, "etaoins", "€†‡•¶§µ")  # no
 _ORACLE_DIR = "/root/repo/spark-warehouse/_oracle"
 _MATERIALIZED: set[str] = set()
 
+# no-silent-caps: the banded-join queries register a pyspark Observation
+# here (fresh per call); bench.py reads rows_dropped/rows_total after the
+# action to log the cap drop rate
+OBSERVATIONS: dict[str, object] = {}
+
 
 def _mat_spans(spark: SparkSession, sf_dir: str, noisy: bool = False, level: str = "word") -> str:
     import os
@@ -926,22 +931,30 @@ def q_embedding_near_dups(spark, sf_dir):
     # (max pairwise cosine ≈ 0.4): the "near-dup" threshold is set low
     # enough to be non-vacuous, and n_bits low / n_bands high so recall
     # stays ≥0.9 at that weak similarity (p_agree ≈ 0.58 per plane)
+    from pyspark.sql import Observation
+
     e = _emb(spark, sf_dir)
+    obs = Observation()
+    OBSERVATIONS["embedding_near_dups"] = obs
     return embedding_near_dups(
-        e, threshold=0.25, n_bands=8, n_bits=2, max_bucket=1000
+        e, threshold=0.25, n_bands=8, n_bits=2, max_bucket=1000, observation=obs
     ).orderBy("id_a", "id_b")
 
 
 def q_knn_ann_lsh(spark, sf_dir):
     """Approximate ANN via multi-band hyperplane LSH (approximate →
     rows-only)."""
+    from pyspark.sql import Observation
+
     from cor_asv_ann_spark.operators.similarity import lsh_topk
 
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=5, n_bands=8, n_bits=2, max_bucket=1000).orderBy(
-        "query_id", "rank"
-    )
+    obs = Observation()
+    OBSERVATIONS["knn_ann_lsh"] = obs
+    return lsh_topk(
+        e, q, k=5, n_bands=8, n_bits=2, max_bucket=1000, observation=obs
+    ).orderBy("query_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -140,12 +140,29 @@ def main() -> None:
     times[f"correction_beam_{beam_docs}"] = round(beam_wall, 3)
     docs_per_sec_beam = n_beam / beam_wall if beam_wall > 0 else None
 
+    cap_drops: dict[str, dict] = {}
     for name in bench_queries:
         fn = qdefs[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # no-silent-caps: banded-join queries register an Observation;
+        # log the cap drop rate next to the timing
+        obs = getattr(entrymod, "OBSERVATIONS", {}).pop(name, None)
+        if obs is not None:
+            try:
+                m = obs.get
+                cap_drops[name] = {
+                    "rows_total": m.get("rows_total"),
+                    "rows_dropped": m.get("rows_dropped"),
+                    "buckets_dropped": round(m.get("buckets_dropped", 0.0)),
+                    "drop_rate": round(
+                        (m.get("rows_dropped") or 0) / max(m.get("rows_total") or 1, 1), 4
+                    ),
+                }
+            except Exception:
+                cap_drops[name] = {"error": "metrics unavailable"}
 
     result = {
         "metric": "headline query wall time (correction pipeline + operator suite)",
@@ -157,6 +174,7 @@ def main() -> None:
         "docs_per_sec_beam": round(docs_per_sec_beam, 1) if docs_per_sec_beam else None,
         "n_docs": n_docs,
         "cpus": CPUS,
+        "cap_drops": cap_drops,
     }
     spark.stop()
 

@@ -83,6 +83,7 @@ def lsh_candidates(
     n_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Band the signature and self-join per band bucket → candidate
     pairs (id_a < id_b). The join key is (band_idx, band_value) so each
@@ -104,19 +105,20 @@ def lsh_candidates(
         ]
     )
     banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val"))
+    banded_b = banded
     if max_bucket is not None:
         # window count, not a sizes-subquery join: one pass, and the
-        # (band_idx, band_val) exchange pre-partitions the self-join
-        from pyspark.sql import Window
+        # (band_idx, band_val) exchange pre-partitions the self-join;
+        # dropped rows are accounted via the shared no-silent-caps metric.
+        # The observation rides ONE side of the self-join only — an
+        # observe node in both branches executes twice and breaks the
+        # single-metrics-row contract
+        from .similarity import cap_buckets
 
-        w = Window.partitionBy("band_idx", "band_val")
-        banded = (
-            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("bsz") <= max_bucket)
-            .drop("bsz")
-        )
+        banded_b = cap_buckets(banded, ["band_idx", "band_val"], max_bucket, None)
+        banded = cap_buckets(banded, ["band_idx", "band_val"], max_bucket, observation)
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded_b.alias("b")
     return (
         a.join(
             b,
@@ -171,6 +173,7 @@ def minhash_dedup(
     band_size: int = 2,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → LSH bands →
     Jaccard-verified pairs.
@@ -183,7 +186,7 @@ def minhash_dedup(
 
     sh = with_shingles(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(sh, id_col, n_hashes)
-    cand = lsh_candidates(sig, id_col, n_hashes, band_size, max_bucket)
+    cand = lsh_candidates(sig, id_col, n_hashes, band_size, max_bucket, observation)
     return ngram_jaccard_pairs(sh, cand, id_col, threshold)
 
 
@@ -250,6 +253,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 32,
     max_bucket: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Candidate pairs whose simhash differs in ≤ max_hamming bits.
     Banding on 4 byte-chunks (pigeonhole: ≤3 differing bits ⇒ at least
@@ -265,16 +269,14 @@ def simhash_near_pairs(
         ]
     )
     banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    banded_b = banded
     if max_bucket is not None:
-        from pyspark.sql import Window
+        from .similarity import cap_buckets
 
-        w = Window.partitionBy("ci", "cv")
-        banded = (
-            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("bsz") <= max_bucket)
-            .drop("bsz")
-        )
-    a, b = banded.alias("a"), banded.alias("b")
+        # observation on ONE self-join side only (see lsh_candidates)
+        banded_b = cap_buckets(banded, ["ci", "cv"], max_bucket, None)
+        banded = cap_buckets(banded, ["ci", "cv"], max_bucket, observation)
+    a, b = banded.alias("a"), banded_b.alias("b")
     cand = (
         a.join(
             b,
@@ -302,9 +304,10 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_bands: int = 8,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     max_bucket: int | None = 1000,
     seed: int = 42,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup via multi-band hyperplane LSH: k
     independent band tables (seeded Gaussian planes, vectorized numpy
@@ -315,11 +318,19 @@ def embedding_near_dups(
     degenerates into all-pairs: a band bucket of k rows emits at most
     max_bucket·(max_bucket−1)/2 pairs. Per-band scan reduction is
     2^n_bits; recall grows with n_bands (OR over independent tables).
-    Vectors are unit-norm in the fixture; cosine = dot."""
-    from .similarity import banded, dot_np
+    Vectors are unit-norm in the fixture; cosine = dot.
 
-    bb = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket)
-    a, b = bb.alias("a"), bb.alias("b")
+    ``n_bits=None`` sizes the code width from the corpus count
+    (``auto_n_bits``) so the cap trims skew rather than every typical
+    bucket; ``observation`` surfaces rows/buckets dropped by the cap."""
+    from .similarity import auto_n_bits, banded, dot_np
+
+    if n_bits is None:
+        n_bits = auto_n_bits(emb.count(), max_bucket or 1000)
+    # observation on ONE self-join side only (see lsh_candidates)
+    bb = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket, observation)
+    bb_b = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket, None)
+    a, b = bb.alias("a"), bb_b.alias("b")
     cand = (
         a.join(
             b,

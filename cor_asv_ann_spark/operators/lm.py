@@ -53,11 +53,27 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     )
 
 
-def lm_table(counts: DataFrame, min_count: int = 1) -> dict[str, dict[str, float]]:
-    """Collect the (bounded: ≤ observed contexts × vocab) count table
-    into the broadcastable nested dict the scorer uses. ``min_count``
-    prunes the long tail at corpus scale."""
-    rows = counts.filter(F.col("n") >= min_count).collect()
+def lm_table(
+    counts: DataFrame, min_count: int = 1, top_k_per_ctx: int | None = 64
+) -> dict[str, dict[str, float]]:
+    """Collect the count table into the broadcastable nested dict the
+    scorer uses. Two driver-safety bounds compose: ``min_count`` prunes
+    the long tail, and ``top_k_per_ctx`` keeps only the k most frequent
+    continuations per context (window rank BEFORE collect) — at order>3
+    on a 100 TB corpus the distinct-context count explodes while the
+    scorer only ever reads the head of each context's distribution.
+    ``None`` disables the cap (tiny corpora / exact-parity tests)."""
+    pruned = counts.filter(F.col("n") >= min_count)
+    if top_k_per_ctx is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("ctx").orderBy(F.desc("n"), "ch")
+        pruned = (
+            pruned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k_per_ctx)
+            .drop("_rk")
+        )
+    rows = pruned.collect()
     table: dict[str, dict[str, float]] = {}
     for r in rows:
         table.setdefault(r.ctx, {})[r.ch] = float(r.n)

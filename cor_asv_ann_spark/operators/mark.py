@@ -48,6 +48,23 @@ def words_from_spans(spans_df: DataFrame) -> DataFrame:
     )
 
 
+def lexicon_from_wordlist(spark, path: str) -> DataFrame:
+    """External-dictionary drop-in (the reference marks against hunspell
+    dictionaries, wrapper/mark.py:59-69,107-124; hunspell itself is not
+    in this container): read a plain wordlist or a hunspell ``.dic`` file
+    — one entry per line, affix flags after ``/`` stripped, the leading
+    entry-count line dropped — into the ``(entry)`` lexicon frame that
+    ``mark_words``/``dehyphenate_recheck`` consume. Any dictionary a user
+    has on disk plugs straight in; ``mark_oov``'s corpus-derived lexicon
+    path is unchanged."""
+    lines = spark.read.text(path).select(F.col("value").alias("raw"))
+    return (
+        lines.select(F.trim(F.regexp_replace("raw", "/.*$", "")).alias("entry"))
+        .filter((F.col("entry") != "") & ~F.col("entry").rlike("^[0-9]+$"))
+        .distinct()
+    )
+
+
 def mark_words(words: DataFrame, lexicon: DataFrame) -> DataFrame:
     """IV/OOV marking: normalized word broadcast-joined against the
     lexicon (column ``entry``). Returns words + ``oov`` flag."""

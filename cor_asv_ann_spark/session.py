@@ -37,6 +37,16 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE, but not its empty-relation rewrite: when a banded
+        # join's capped side comes up empty, that rule prunes the whole
+        # observed subtree and the no-silent-caps drop metrics
+        # (similarity.cap_buckets) vanish exactly in the degenerate case
+        # they exist to report. The rewrite only saves work on
+        # empty-branch queries, which corpus-scale pipelines don't have.
+        .config(
+            "spark.sql.adaptive.optimizer.excludedRules",
+            "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))

@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--val-split", type=float, default=0.1)
+    ap.add_argument(
+        "--val-cap",
+        type=int,
+        default=10000,
+        help="max val lines used for CER (applied before any materialization)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -44,34 +50,58 @@ def main() -> None:
         part = read_pairs(spark, p).select("source", "target")
         pairs = part if pairs is None else pairs.unionByName(part)
 
-    # incremental vocabulary from the data (seq2seq.py map_files analogue)
-    vocab_chars = set()
-    for col in ("source", "target"):
-        chars = (
-            pairs.select(F.explode(F.split(F.col(col), "")).alias("ch"))
-            .filter(F.col("ch") != "")
-            .distinct()
-            .collect()
+    # incremental vocabulary from the data (seq2seq.py map_files analogue):
+    # one scan over both columns, one distinct (bounded by the charset)
+    chars = (
+        pairs.select(
+            F.explode(F.split(F.concat_ws("", "source", "target"), "")).alias("ch")
         )
-        vocab_chars |= {r.ch for r in chars}
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+    vocab_chars = {r.ch for r in chars}
     model = Seq2SeqModel(make_vocab(vocab_chars), width=args.width, depth=1)
 
     train, val = pairs.randomSplit([1 - args.val_split, args.val_split], seed=42)
     train = train.persist()
-    val_rows = val.collect()
+    # the val set is bounded BY CONSTRUCTION (limit before anything is
+    # materialized), and CER is computed distributed: broadcast weights,
+    # Arrow-batched greedy decode per partition, builtin-levenshtein
+    # aggregate — nothing line-shaped ever reaches the driver (the old
+    # val.collect() + driver-side decode was an OOM and a single-threaded
+    # eval at corpus scale)
+    val = val.limit(args.val_cap).persist()
+    n_val = val.count()
+
+    from cor_asv_ann_spark.model.corrector import model_state
 
     def val_cer() -> float | None:
-        if not val_rows:
+        if n_val == 0:
             return None
-        srcs = [r.source if r.source.endswith("\n") else r.source + "\n" for r in val_rows]
-        tgts = [r.target if r.target.endswith("\n") else r.target + "\n" for r in val_rows]
-        outs, _, _ = model.decode_greedy_batch(srcs)
-        import difflib
+        bc = spark.sparkContext.broadcast(model_state(model))
 
-        dist = sum(
-            1 - difflib.SequenceMatcher(None, o, t).ratio() for o, t in zip(outs, tgts)
-        )
-        return round(dist / len(val_rows), 6)
+        def run(batches):
+            import pandas as pd
+
+            from cor_asv_ann_spark.model.corrector import _model_from_state
+
+            m = _model_from_state(bc.value)
+            for pdf in batches:
+                srcs = [s if s.endswith("\n") else s + "\n" for s in pdf["source"]]
+                tgts = [t if t.endswith("\n") else t + "\n" for t in pdf["target"]]
+                outs, _, _ = m.decode_greedy_batch(srcs)
+                yield pd.DataFrame({"gt_text": tgts, "ocr_text": outs})
+
+        dec = val.mapInPandas(run, schema="gt_text string, ocr_text string")
+        r = dec.agg(
+            F.sum(F.levenshtein("ocr_text", "gt_text")).cast("double").alias("d"),
+            F.sum(F.greatest(F.length("ocr_text"), F.length("gt_text")))
+            .cast("double")
+            .alias("l"),
+        ).collect()[0]
+        bc.unpersist()
+        return round(r.d / r.l, 6) if r.l else None
 
     cer_before = val_cer()
     losses = train_distributed(
@@ -83,7 +113,7 @@ def main() -> None:
         json.dumps(
             {
                 "n_train": train.count(),
-                "n_val": len(val_rows),
+                "n_val": n_val,
                 "loss_first": round(losses[0], 6) if losses else None,
                 "loss_last": round(losses[-1], 6) if losses else None,
                 "val_cer_before": cer_before,

@@ -72,3 +72,19 @@ def test_pipeline_beam_with_lm(spark, sf_small):
     out2 = correct_pipeline(spans, corrector=corr).collect()
     assert sorted(map(str, out1)) == sorted(map(str, out2))
     assert len(out1) == 4
+
+
+def test_lm_table_top_k_per_ctx_bound(spark):
+    """The broadcast table is bounded per context BEFORE collect: with
+    top_k_per_ctx=2 no context keeps more than its 2 most frequent
+    continuations, and the kept ones are the head of the distribution."""
+    from cor_asv_ann_spark.operators.lm import char_ngram_counts, lm_table
+
+    docs = spark.createDataFrame([Row(text="aaab aac aad ab " * 5)])
+    counts = char_ngram_counts(docs, order=2)
+    full = lm_table(counts, top_k_per_ctx=None)
+    capped = lm_table(counts, top_k_per_ctx=2)
+    assert all(len(d) <= 2 for d in capped.values())
+    for ctx, d in capped.items():
+        head = sorted(full[ctx].items(), key=lambda kv: (-kv[1], kv[0]))[: len(d)]
+        assert d == dict(head)

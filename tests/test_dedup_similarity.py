@@ -182,3 +182,48 @@ def test_embedding_near_dups_max_bucket_cap(spark):
         emb, threshold=0.5, n_bands=4, n_bits=2, max_bucket=10
     ).collect()
     assert pairs == []  # every bucket holds all 50 identical rows > cap
+
+
+def test_cap_drop_metrics_observed(spark):
+    """NO SILENT CAPS: when a degenerate bucket is dropped, the
+    Observation attached to the banded join must report exactly how many
+    rows and buckets were dropped — on the same job, no extra pass."""
+    from pyspark.sql import Observation
+
+    vecs = [(i, [1.0, 0.0]) for i in range(50)]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    obs = Observation("ann_cap")
+    out = embedding_near_dups(
+        emb, threshold=0.5, n_bands=4, n_bits=2, max_bucket=10, observation=obs
+    )
+    assert out.count() == 0
+    m = obs.get
+    assert m["rows_total"] == 50 * 4  # one row per (vector, band)
+    assert m["rows_dropped"] == 50 * 4  # every bucket exceeds the cap
+    assert m["buckets_dropped"] == pytest.approx(4.0)  # 1/k-weighted count
+
+    # minhash banded join: same accounting through lsh_candidates
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text") for i in range(30)], ["doc_id", "text"]
+    )
+    obs2 = Observation("mh_cap")
+    pairs = minhash_dedup(docs, threshold=0.5, max_bucket=5, observation=obs2)
+    assert pairs.count() == 0
+    m2 = obs2.get
+    assert m2["rows_dropped"] == m2["rows_total"] > 0
+
+    # and a non-degenerate corpus drops nothing
+    obs3 = Observation("ok_cap")
+    docs2 = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    minhash_dedup(docs2, threshold=0.5, max_bucket=100, observation=obs3).count()
+    assert obs3.get["rows_dropped"] == 0
+
+
+def test_auto_n_bits_scales_with_corpus():
+    from cor_asv_ann_spark.operators.similarity import auto_n_bits
+
+    # mean bucket ≈ max_bucket/2: 10^9 rows at cap 1000 needs ~21 bits
+    assert auto_n_bits(10**9, 1000) == 21
+    assert auto_n_bits(1000, 1000) == 1
+    # monotone in corpus size
+    assert auto_n_bits(10**12, 1000) > auto_n_bits(10**9, 1000)

@@ -169,3 +169,24 @@ def test_vocab_and_split(spark, tmp_path):
     assert 0 not in vocab.values()
     train, val = train_val_split(pairs, 0.5, seed=1)
     assert train.count() + val.count() == 2
+
+
+def test_mark_with_file_backed_lexicon(spark, tmp_path):
+    """A hunspell-style .dic file drops straight into mark_words /
+    dehyphenate_recheck: affix flags after '/' are stripped, the leading
+    entry-count line ignored — same flags as the DataFrame lexicon."""
+    from cor_asv_ann_spark.operators.mark import lexicon_from_wordlist
+
+    dic = tmp_path / "words.dic"
+    dic.write_text("2\nhello/MS\nworld\n\n")
+    lex_file = lexicon_from_wordlist(spark, str(dic))
+    assert sorted(r.entry for r in lex_file.collect()) == ["hello", "world"]
+
+    spans = spark.createDataFrame(SPANS, schema=SPANS_SCHEMA)
+    words = words_from_spans(spans)
+    lex_df = spark.createDataFrame([("hello",), ("world",)], ["entry"])
+    via_file = dehyphenate_recheck(mark_words(words, lex_file), lex_file)
+    via_df = dehyphenate_recheck(mark_words(words, lex_df), lex_df)
+    f1 = {(r.line_no, r.word_idx): r.oov for r in via_file.collect()}
+    f2 = {(r.line_no, r.word_idx): r.oov for r in via_df.collect()}
+    assert f1 == f2
