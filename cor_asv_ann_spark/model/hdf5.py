@@ -404,8 +404,12 @@ class _Writer:
     """Old-style (v0 superblock, v1 headers, symbol-table groups,
     contiguous data) HDF5 writer — the layout default h5py produces."""
 
-    def __init__(self):
-        self.buf = bytearray(96)  # superblock v0 placeholder
+    def __init__(self, superblock_version: int = 0):
+        # superblock placeholder: v0 = 96 bytes, v1 = +4 (indexed-storage
+        # K + reserved); sized NOW so finish() can overwrite in place
+        # without shifting every allocated address
+        self.sb_ver = superblock_version
+        self.buf = bytearray(96 if superblock_version == 0 else 100)
 
     def alloc(self, data: bytes) -> int:
         addr = len(self.buf)
@@ -472,24 +476,93 @@ class _Writer:
 
     # --- datasets / groups ---------------------------------------------------
 
-    def write_dataset(self, arr: np.ndarray, attrs: dict | None = None) -> int:
+    def write_dataset(
+        self,
+        arr: np.ndarray,
+        attrs: dict | None = None,
+        chunk: tuple[int, ...] | None = None,
+        gzip: bool = False,
+    ) -> int:
+        """``chunk`` switches the data layout from contiguous to chunked
+        (B-tree v1 index), optionally gzip-filtered — the layout real
+        h5py files use for any dataset created with compression or
+        resizable shapes. The fixture writer exercises BOTH paths so the
+        reader is tested against real-file structure, not just its own
+        simplest output."""
         arr = np.ascontiguousarray(arr)
         if arr.dtype.kind == "b":
             arr = arr.astype(np.int8)
         if arr.dtype.kind == "U":
             arr = arr.astype("S")
-        data_addr = self.alloc(_pad8(arr.tobytes()))
         msgs = [
             self._msg(0x0001, self._ds(arr.shape)),
             self._msg(0x0003, self._dt(arr.dtype)),
-            self._msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes)),
         ]
+        if chunk is None or arr.ndim == 0:
+            data_addr = self.alloc(_pad8(arr.tobytes()))
+            msgs.append(
+                self._msg(0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
+            )
+        else:
+            chunk = tuple(min(c, s) for c, s in zip(chunk, arr.shape))
+            btree_addr = self._write_chunks(arr, chunk, gzip)
+            body = struct.pack("<BBBQ", 3, 2, arr.ndim + 1, btree_addr)
+            for c in chunk:
+                body += struct.pack("<I", c)
+            body += struct.pack("<I", arr.itemsize)  # element-size dim
+            msgs.append(self._msg(0x0008, body))
+            if gzip:
+                # filter pipeline v1: gzip (id 1), 1 client value (level),
+                # odd value count → 4 pad bytes
+                filt = struct.pack("<BB6x", 1, 1)
+                filt += struct.pack("<HHHH", 1, 0, 1, 1) + struct.pack("<I", 4)
+                filt += b"\x00" * 4
+                msgs.append(self._msg(0x000B, filt))
         for k, v in (attrs or {}).items():
             msgs.append(self._msg(0x000C, self._attr_msg(k, v)))
         return self._object_header(msgs)
 
-    def write_group(self, members: dict[str, int], attrs: dict | None = None) -> int:
-        """members: name → object header address (children built first)."""
+    def _write_chunks(self, arr: np.ndarray, chunk: tuple[int, ...], gzip: bool) -> int:
+        """Write every chunk + a (flat, single-level) chunk B-tree v1."""
+        import itertools
+
+        entries = []  # (key bytes, chunk data address)
+        ranges = [range(0, s, c) for s, c in zip(arr.shape, chunk)]
+        for offs in itertools.product(*ranges):
+            sel = tuple(slice(o, min(o + c, s)) for o, c, s in zip(offs, chunk, arr.shape))
+            block = np.zeros(chunk, dtype=arr.dtype)
+            block[tuple(slice(0, s.stop - s.start) for s in sel)] = arr[sel]
+            raw = block.tobytes()
+            if gzip:
+                raw = zlib.compress(raw, 4)
+            addr = self.alloc(_pad8(raw))
+            key = struct.pack("<II", len(raw), 0)
+            for o in offs:
+                key += struct.pack("<Q", o)
+            key += struct.pack("<Q", 0)  # element-size dimension offset
+            entries.append((key, addr))
+        # single leaf node (fixture arrays are small); n+1 keys, the last
+        # one past-the-end per spec
+        node = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries), UNDEF, UNDEF)
+        for key, addr in entries:
+            node += key + struct.pack("<Q", addr)
+        end_key = struct.pack("<II", 0, 0)
+        for s in arr.shape:
+            end_key += struct.pack("<Q", s)
+        end_key += struct.pack("<Q", 0)
+        node += end_key
+        return self.alloc(node)
+
+    def write_group(
+        self,
+        members: dict[str, int],
+        attrs: dict | None = None,
+        max_snod: int = 1 << 30,
+    ) -> int:
+        """members: name → object header address (children built first).
+        ``max_snod`` bounds entries per symbol node: real h5py files split
+        groups with more than 2·K_leaf (=8) links across multiple SNODs
+        under one B-tree — pass a small value to emit that structure."""
         names = sorted(members)
         heap = bytearray(8)  # offset 0 = empty string
         offsets = {}
@@ -500,14 +573,20 @@ class _Writer:
         heap_addr = self.alloc(
             b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap), UNDEF, heap_data_addr)
         )
-        snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
-        for n in names:
-            snod += struct.pack("<QQI4x16x", offsets[n], members[n], 0)
-        snod_addr = self.alloc(snod)
-        last_key = offsets[names[-1]] if names else 0
-        btree = b"TREE" + struct.pack(
-            "<BBHQQQQQ", 0, 0, 1, UNDEF, UNDEF, 0, snod_addr, last_key
-        )
+        chunks = [names[i : i + max_snod] for i in range(0, len(names), max_snod)] or [[]]
+        snod_addrs = []
+        for part in chunks:
+            snod = b"SNOD" + struct.pack("<BxH", 1, len(part))
+            for n in part:
+                snod += struct.pack("<QQI4x16x", offsets[n], members[n], 0)
+            snod_addrs.append(self.alloc(snod))
+        # one leaf-level B-tree node over all SNODs: key_i precedes
+        # child_i (offset of the child's first name), final key = last name
+        btree = b"TREE" + struct.pack("<BBHQQ", 0, 0, len(snod_addrs), UNDEF, UNDEF)
+        for part, addr in zip(chunks, snod_addrs):
+            first_key = offsets[part[0]] if part else 0
+            btree += struct.pack("<QQ", first_key, addr)
+        btree += struct.pack("<Q", offsets[names[-1]] if names else 0)
         btree_addr = self.alloc(btree)
         msgs = [self._msg(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
         for k, v in (attrs or {}).items():
@@ -515,9 +594,16 @@ class _Writer:
         return self._object_header(msgs)
 
     def finish(self, root_addr: int) -> bytes:
-        sb = SIG + struct.pack(
-            "<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0
-        )
+        superblock_version = self.sb_ver
+        if superblock_version == 0:
+            sb = SIG + struct.pack("<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+        elif superblock_version == 1:
+            # v1 inserts indexed-storage-K + 2 reserved bytes before the
+            # address block (reader: entry_off 28 vs 24)
+            sb = SIG + struct.pack("<BBBBBBBBHHI", 1, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+            sb += struct.pack("<HH", 32, 0)
+        else:
+            raise NotImplementedError(f"write superblock v{superblock_version}")
         sb += struct.pack("<QQQQ", 0, UNDEF, len(self.buf), UNDEF)
         # root symbol table entry
         sb += struct.pack("<QQI4x16x", 0, root_addr, 0)
@@ -525,12 +611,28 @@ class _Writer:
         return bytes(self.buf)
 
 
-def write_h5(path: str, tree: dict, attrs_by_path: dict[str, dict] | None = None) -> None:
+def write_h5(
+    path: str,
+    tree: dict,
+    attrs_by_path: dict[str, dict] | None = None,
+    chunked: bool = False,
+    gzip: bool = False,
+    chunk_rows: int = 16,
+    max_snod: int = 1 << 30,
+    superblock_version: int = 0,
+) -> None:
     """Write a nested dict of {name: ndarray | subdict} as an HDF5 file.
     ``attrs_by_path`` maps group/dataset paths ('' = root, 'a/b' = nested)
-    to attribute dicts."""
+    to attribute dicts.
+
+    The layout knobs exist so fixtures can exercise the structures REAL
+    h5py files use (the reader must never be validated only against this
+    writer's simplest output): ``chunked``/``gzip`` store every ≥1-d
+    dataset as a gzip'd chunk B-tree (chunks of ``chunk_rows`` along the
+    first axis), ``max_snod`` splits large groups over multiple symbol
+    nodes, ``superblock_version=1`` emits the v1 superblock variant."""
     attrs_by_path = attrs_by_path or {}
-    w = _Writer()
+    w = _Writer(superblock_version)
 
     def build(node: dict, path: str) -> int:
         members = {}
@@ -539,10 +641,14 @@ def write_h5(path: str, tree: dict, attrs_by_path: dict[str, dict] | None = None
             if isinstance(child, dict):
                 members[name] = build(child, sub + "/")
             else:
+                arr = np.asarray(child)
+                chunk = None
+                if chunked and arr.ndim >= 1 and arr.size > 0 and arr.dtype.kind in "iuf":
+                    chunk = (min(chunk_rows, arr.shape[0]),) + arr.shape[1:]
                 members[name] = w.write_dataset(
-                    np.asarray(child), attrs_by_path.get(sub)
+                    arr, attrs_by_path.get(sub), chunk=chunk, gzip=gzip and chunk is not None
                 )
-        return w.write_group(members, attrs_by_path.get(path.rstrip("/")))
+        return w.write_group(members, attrs_by_path.get(path.rstrip("/")), max_snod=max_snod)
 
     root = build(tree, "")
     with open(path, "wb") as f:

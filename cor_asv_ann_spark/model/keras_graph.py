@@ -50,11 +50,17 @@ def write_keras_fixture(
     bridge_dense: bool = False,
     residual: bool = False,
     deep_bidirectional: bool = False,
+    **h5_layout,
 ) -> dict:
     """Write a seeded random model in the reference's exact HDF5 layout
     (Keras 2.x save_weights groups + the config group of
     seq2seq.py:1128-1141) so the loader is exercised against the real
-    file structure without shipping a multi-MB trained model."""
+    file structure without shipping a multi-MB trained model.
+
+    ``h5_layout`` kwargs pass through to :func:`hdf5.write_h5`
+    (chunked/gzip chunk B-trees, multi-SNOD groups, superblock v1) so
+    fixture files can carry the physical structures real h5py output
+    uses, not only the writer's simplest contiguous layout."""
     from .hdf5 import write_h5
 
     rng = np.random.default_rng(seed)
@@ -153,7 +159,7 @@ def write_keras_fixture(
     }
     for layer in layer_names:
         attrs[layer] = {"weight_names": weight_names(layer)}
-    write_h5(path, tree, attrs)
+    write_h5(path, tree, attrs, **h5_layout)
     return {"mapping": mapping, "width": W, "depth": D}
 
 

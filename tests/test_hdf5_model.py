@@ -300,3 +300,90 @@ def test_ref_model_drives_spark_pipeline(spark, sf_small, h5_model):
     for r in collected:
         if r.kind == "media":
             assert r.text == "" and r.media_ref.startswith("img://")
+
+
+REAL_LAYOUTS = [
+    # the physical structures real h5py output uses beyond the writer's
+    # simplest contiguous/single-SNOD/v0 form
+    {"chunked": True, "chunk_rows": 5},
+    {"chunked": True, "gzip": True, "chunk_rows": 4},
+    {"max_snod": 3},
+    {"superblock_version": 1},
+    {"chunked": True, "gzip": True, "chunk_rows": 3, "max_snod": 4,
+     "superblock_version": 1},
+]
+
+
+@pytest.mark.parametrize("layout", REAL_LAYOUTS)
+def test_hdf5_real_layouts_roundtrip(tmp_path, layout):
+    """chunked + gzip chunk B-trees, multi-SNOD group B-trees and the v1
+    superblock must all roundtrip byte-exactly — the layouts real h5py
+    files use (chunked datasets appear with any compression, multi-SNOD
+    groups past ~2·K_leaf links)."""
+    rng = np.random.default_rng(1)
+    tree = {
+        "g": {
+            "a": rng.standard_normal((37, 5)).astype(np.float32),
+            "b": np.arange(100, dtype=np.int64).reshape(10, 10),
+        },
+        "many": {f"m{i:03d}": np.arange(i % 9, dtype=np.float32) for i in range(40)},
+        "scalar": {"s": np.array(2.5, dtype=np.float64)},
+    }
+    p = str(tmp_path / "layout.h5")
+    write_h5(p, tree, {"g/a": {"tag": b"t"}}, **layout)
+    f = read_h5(p)
+    assert np.array_equal(f["g/a"].data, tree["g"]["a"])
+    assert np.array_equal(f["g/b"].data, tree["g"]["b"])
+    assert np.array_equal(f["many/m031"].data, tree["many"]["m031"])
+    assert len(f["many"].keys()) == 40
+    assert float(f["scalar/s"].data) == 2.5
+    assert f["g/a"].attrs["tag"] == b"t"
+
+
+def test_hdf5_property_roundtrip_real_layouts(tmp_path):
+    """Property test over the chunked+gzip+multi-SNOD+v1 layout: the
+    reader must agree with the writer for arbitrary trees, not just the
+    Keras-shaped fixtures."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    name = st.text(alphabet="abcdefghij_0123456789", min_size=1, max_size=10)
+    arr = st.one_of(
+        arrays(np.float32, st.tuples(st.integers(0, 9), st.integers(1, 4)),
+               elements=st.floats(-1e3, 1e3, width=32)),
+        arrays(np.int32, st.integers(0, 11), elements=st.integers(-(2**30), 2**30)),
+    )
+    tree_strategy = st.dictionaries(name, arr, min_size=1, max_size=5)
+    counter = [0]
+
+    @settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(tree=tree_strategy)
+    def check(tree):
+        counter[0] += 1
+        p = str(tmp_path / f"rl{counter[0]}.h5")
+        write_h5(p, tree, chunked=True, gzip=True, chunk_rows=3, max_snod=2,
+                 superblock_version=1)
+        f = read_h5(p)
+        for k, v in tree.items():
+            got = f[k].data
+            assert got.dtype == v.dtype and got.shape == v.shape
+            assert np.array_equal(got, v)
+
+    check()
+
+
+def test_keras_fixture_loads_from_real_layouts(tmp_path):
+    """The reference-graph loader must produce the identical model from
+    a chunked+gzip / multi-SNOD / v1-superblock fixture as from the
+    plain contiguous one — decode outputs pinned equal."""
+    plain = str(tmp_path / "plain.h5")
+    write_keras_fixture(plain, width=16, depth=2, seed=7)
+    m0 = RefSeq2Seq.load_h5(plain)
+    base, _, _ = m0.decode_greedy_batch(["hello\n", "world x\n"])
+    for i, layout in enumerate(REAL_LAYOUTS):
+        p = str(tmp_path / f"real{i}.h5")
+        write_keras_fixture(p, width=16, depth=2, seed=7, **layout)
+        m = RefSeq2Seq.load_h5(p)
+        out, _, _ = m.decode_greedy_batch(["hello\n", "world x\n"])
+        assert out == base, f"layout {layout} decoded differently"
