@@ -1,26 +1,38 @@
 """Training loop (M7): from-scratch numpy backprop for the seq2seq
-fixture graph + a Spark data-parallel epoch loop.
+graph at ANY depth + a Spark data-parallel epoch loop with the
+reference's training-loop semantics.
 
 The reference trains with Keras fit over generator batches
-(/root/reference/ocrd_cor_asv_ann/lib/seq2seq.py:490-554,
-lib/keras_train.py:27-120): teacher forcing, padded-sample masking,
-early stopping on validation loss. This module re-derives the training
-half by hand for the numpy graph in ``seq2seq_np.Seq2SeqModel`` (depth-1:
-tied embedding, half-width BiLSTM encoder, additive-attention LSTM
-decoder, [h;ctx] projection to the transposed embedding):
+(/root/reference/ocrd_cor_asv_ann/lib/seq2seq.py:490-554,590-649,
+846-917, lib/keras_train.py:27-120): teacher forcing, padded-sample
+masking, early stopping on validation loss (patience 3, best weights
+restored, NaN guard), "empirical" scheduled sampling (greedy decoder
+feedback substituted as *data* — no gradient through the sample,
+seq2seq.py:866 comment), and encoder degradation (a random position of
+~1% of lines zeroed to the underspecified index, seq2seq.py:909-915).
+This module re-derives the training half by hand for the numpy graph in
+``seq2seq_np.Seq2SeqModel`` — depth-general: tied embedding, half-width
+BiLSTM + (depth-1) stacked-LSTM encoder, depth-stacked LSTM decoder
+with additive attention on the top layer, [h;ctx] projection to the
+transposed embedding (the reference's published models are depth 2):
 
 * :func:`forward_backward` — one teacher-forced pass with
   cross-entropy loss and full BPTT gradients for every parameter
-  (verified against central finite differences in
+  (verified against central finite differences at depth 1 AND 2 in
   tests/test_train_np.py);
-* :func:`sgd_adam` — driver-side Adam;
+* :func:`forward_loss` — forward-only (validation);
+* :func:`sample_ratio` / :func:`greedy_decoder_inputs` — scheduled
+  sampling schedule + teacher-less rollout (both reference formulas);
 * :func:`train_local` — full-batch loop (fixture-scale);
 * :func:`train_distributed` — synchronous data-parallel SGD the
   Spark way: weights broadcast per epoch, per-partition gradient sums
   via ``mapPartitions`` over Arrow-sized row chunks, one
   ``treeAggregate`` reduction per epoch (gradients are dense small
   tensors — the classic broadcast/tree-reduce parameter loop; this is
-  the one justified RDD use in the engine).
+  the one justified RDD use in the engine). Per-line randomness
+  (scheduled-sampling draw, degradation position) is derived from
+  ``hash(source, epoch)`` so it is deterministic and
+  partitioning-independent — local and distributed walk the same curve.
 
 Training ignores the local attention window (a hard non-differentiable
 mask; the reference applies it in training too, where it acts as a
@@ -30,48 +42,39 @@ decodes identically through the windowed inference path).
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import numpy as np
 
 from .seq2seq_np import EOS, Seq2SeqModel
 
-PARAM_KEYS = (
-    "embed",
-    "att_We",
-    "att_Wd",
-    "att_v",
-    "out_W",
-    "out_b",
-    "enc_fwd_W", "enc_fwd_U", "enc_fwd_b",
-    "enc_bwd_W", "enc_bwd_U", "enc_bwd_b",
-    "dec0_W", "dec0_U", "dec0_b",
-)
-
 
 def get_params(model: Seq2SeqModel) -> dict[str, np.ndarray]:
-    assert model.depth == 1, "training implemented for depth-1 graphs"
-    return {
-        "embed": model.embed,
-        "att_We": model.att_We,
-        "att_Wd": model.att_Wd,
-        "att_v": model.att_v,
-        "out_W": model.out_W,
-        "out_b": model.out_b,
-        "enc_fwd_W": model.enc_fwd.W, "enc_fwd_U": model.enc_fwd.U, "enc_fwd_b": model.enc_fwd.b,
-        "enc_bwd_W": model.enc_bwd.W, "enc_bwd_U": model.enc_bwd.U, "enc_bwd_b": model.enc_bwd.b,
-        "dec0_W": model.dec_stack[0].W, "dec0_U": model.dec_stack[0].U, "dec0_b": model.dec_stack[0].b,
-    }
+    """Every trainable tensor, named as in ``weights_dict`` (depth-
+    general: enc_fwd/enc_bwd + enc{i} stack + dec{i} stack)."""
+    return dict(model.weights_dict())
 
 
 def set_params(model: Seq2SeqModel, params: dict[str, np.ndarray]) -> None:
     model.embed = params["embed"]
     model.att_We, model.att_Wd, model.att_v = params["att_We"], params["att_Wd"], params["att_v"]
     model.out_W, model.out_b = params["out_W"], params["out_b"]
-    model.enc_fwd.W, model.enc_fwd.U, model.enc_fwd.b = (
-        params["enc_fwd_W"], params["enc_fwd_U"], params["enc_fwd_b"])
-    model.enc_bwd.W, model.enc_bwd.U, model.enc_bwd.b = (
-        params["enc_bwd_W"], params["enc_bwd_U"], params["enc_bwd_b"])
-    model.dec_stack[0].W, model.dec_stack[0].U, model.dec_stack[0].b = (
-        params["dec0_W"], params["dec0_U"], params["dec0_b"])
+    for name, layer in [("enc_fwd", model.enc_fwd), ("enc_bwd", model.enc_bwd)] + [
+        (f"enc{i}", l) for i, l in enumerate(model.enc_stack)
+    ] + [(f"dec{i}", l) for i, l in enumerate(model.dec_stack)]:
+        layer.W, layer.U, layer.b = params[f"{name}_W"], params[f"{name}_U"], params[f"{name}_b"]
+
+
+def _stack_counts(params: dict) -> tuple[int, int]:
+    """(number of extra encoder layers, number of decoder layers)."""
+    n_enc = 0
+    while f"enc{n_enc}_W" in params:
+        n_enc += 1
+    n_dec = 0
+    while f"dec{n_dec}_W" in params:
+        n_dec += 1
+    return n_enc, n_dec
 
 
 def vectorize_pairs(model: Seq2SeqModel, sources: list[str], targets: list[str]):
@@ -153,123 +156,299 @@ def _lstm_backward(cache, dhs, dh_last, dc_last, W, U):
     return dX, dW, dU, db
 
 
-def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
-    """One teacher-forced pass → (mean loss, gradients dict). All math
-    in the dtype of ``params`` (float64 for gradient checks)."""
+def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool):
+    """Shared teacher-forced forward pass.
+
+    The whole decoder stack runs as full-sequence LSTMs (teacher
+    forcing makes every step's input known up front — bit-identical to
+    the inference step loop), and attention is computed for all output
+    steps at once; this is what makes the graph depth-general without a
+    depth-special-cased step loop."""
     E = params["embed"]
     We, Wd, v = params["att_We"], params["att_Wd"], params["att_v"]
     oW, ob = params["out_W"], params["out_b"]
     dt = E.dtype
-    B, Ts, V = X.shape
-    Tt = Yin.shape[1]
-    W = Wd.shape[0]
-    half = params["enc_fwd_U"].shape[0]
+    n_enc, n_dec = _stack_counts(params)
+    NEG = -1e9
 
     Esrc = X.astype(dt) @ E
     fwd_hs, _, _, fwd_cache = _lstm_forward(
         Esrc, params["enc_fwd_W"], params["enc_fwd_U"], params["enc_fwd_b"])
     bwd_hs, _, _, bwd_cache = _lstm_forward(
         Esrc, params["enc_bwd_W"], params["enc_bwd_U"], params["enc_bwd_b"], reverse=True)
-    enc = np.concatenate([fwd_hs, bwd_hs], axis=-1)  # (B,Ts,W)
-    enc_proj = enc @ We
+    H = np.concatenate([fwd_hs, bwd_hs], axis=-1)  # (B,Ts,W)
+    enc_caches = []
+    for i in range(n_enc):
+        H, _, _, cache = _lstm_forward(
+            H, params[f"enc{i}_W"], params[f"enc{i}_U"], params[f"enc{i}_b"])
+        enc_caches.append(cache)
+    enc_top = H
+    enc_proj = enc_top @ We
 
-    # decoder pass with caches
-    h = np.zeros((B, W), dtype=dt)
-    c = np.zeros((B, W), dtype=dt)
-    dW_keys = {k: np.zeros_like(p) for k, p in params.items()}
-    dec_cache = []
-    n_valid = max(float(Wm.sum()), 1.0)
-    loss = 0.0
+    Hd = Yin.astype(dt) @ E
+    dec_caches = []
+    for d in range(n_dec):
+        Hd, _, _, cache = _lstm_forward(
+            Hd, params[f"dec{d}_W"], params[f"dec{d}_U"], params[f"dec{d}_b"])
+        dec_caches.append(cache)
+    Htop = Hd  # (B,Tt,W)
+
+    q = Htop @ Wd  # (B,Tt,W)
+    s = np.tanh(enc_proj[:, None, :, :] + q[:, :, None, :])  # (B,Tt,Ts,W)
+    e = s @ v  # (B,Tt,Ts)
+    e = np.where(src_mask[:, None, :], e, NEG)
+    e = e - e.max(axis=2, keepdims=True)
+    ex = np.exp(e)
+    a = ex / ex.sum(axis=2, keepdims=True)
+    ctx = np.einsum("bts,bsw->btw", a, enc_top)
+    hc = np.concatenate([Htop, ctx], axis=-1)  # (B,Tt,2W)
+    zz = np.tanh(hc @ oW)
+    logits = zz @ E.T + ob
+    logits = logits - logits.max(axis=2, keepdims=True)
+    pe = np.exp(logits)
+    p = pe / pe.sum(axis=2, keepdims=True)
+    Wt = Wm.astype(dt)
+    n_valid = max(float(Wt.sum()), 1.0)
+    eps = 1e-12
+    loss = float(-(np.log((p * Ytgt.astype(dt)).sum(axis=2) + eps) * Wt).sum()) / n_valid
+    if not need_cache:
+        return loss, None
+    cache = dict(
+        fwd_cache=fwd_cache, bwd_cache=bwd_cache, enc_caches=enc_caches,
+        dec_caches=dec_caches, enc_top=enc_top, Htop=Htop, q=q, s=s, a=a,
+        ctx=ctx, hc=hc, zz=zz, p=p, n_valid=n_valid, n_enc=n_enc, n_dec=n_dec,
+    )
+    return loss, cache
+
+
+def forward_loss(params: dict, X, src_mask, Yin, Ytgt, Wm) -> float:
+    """Validation loss: the forward half only."""
+    loss, _ = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=False)
+    return loss
+
+
+def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
+    """One teacher-forced pass → (mean loss, gradients dict). All math
+    in the dtype of ``params`` (float64 for gradient checks). Works for
+    any encoder/decoder stack depth present in ``params``."""
+    E = params["embed"]
+    We, Wd, v = params["att_We"], params["att_Wd"], params["att_v"]
+    oW = params["out_W"]
+    dt = E.dtype
+    W = Wd.shape[0]
+    half = params["enc_fwd_U"].shape[0]
+    B = X.shape[0]
+
+    loss, cc = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=True)
+    enc_top, Htop, s, a, ctx, hc, zz, p = (
+        cc["enc_top"], cc["Htop"], cc["s"], cc["a"], cc["ctx"], cc["hc"], cc["zz"], cc["p"])
+    n_valid, n_enc, n_dec = cc["n_valid"], cc["n_enc"], cc["n_dec"]
+
+    grads = {k: np.zeros_like(pv) for k, pv in params.items()}
+
+    dlogits = (p - Ytgt.astype(dt)) * (Wm.astype(dt) / n_valid)[:, :, None]  # (B,Tt,V)
+    grads["out_b"] += dlogits.sum(axis=(0, 1))
+    grads["embed"] += np.einsum("btv,btw->vw", dlogits, zz)
+    dzz = np.einsum("btv,vw->btw", dlogits, E)
+    dhc_pre = dzz * (1.0 - zz * zz)
+    grads["out_W"] += np.einsum("btk,btw->kw", hc, dhc_pre)
+    dhc = dhc_pre @ oW.T
+    dHtop = dhc[:, :, :W].copy()
+    dctx = dhc[:, :, W:]
+
+    da = np.einsum("btw,bsw->bts", dctx, enc_top)
+    denc_top = np.einsum("bts,btw->bsw", a, dctx)
+    de = a * (da - (da * a).sum(axis=2, keepdims=True))
+    de = np.where(src_mask[:, None, :], de, 0.0)
+    grads["att_v"] += np.einsum("btsw,bts->w", s, de)
+    dpre = de[:, :, :, None] * v[None, None, None, :] * (1.0 - s * s)  # (B,Tt,Ts,W)
+    denc_proj = dpre.sum(axis=1)  # (B,Ts,W)
+    dq = dpre.sum(axis=2)  # (B,Tt,W)
+    dHtop += dq @ Wd.T
+    grads["att_Wd"] += np.einsum("btw,btx->wx", Htop, dq)
+    grads["att_We"] += np.einsum("bsw,bsx->wx", enc_top, denc_proj)
+    denc_top += denc_proj @ We.T
+
+    # decoder stack backward (top → bottom)
+    zero_w = np.zeros((B, W), dtype=dt)
+    dH = dHtop
+    for d in range(n_dec - 1, -1, -1):
+        dH, dWd_, dUd_, dbd_ = _lstm_backward(
+            cc["dec_caches"][d], dH, zero_w, zero_w,
+            params[f"dec{d}_W"], params[f"dec{d}_U"])
+        grads[f"dec{d}_W"] += dWd_
+        grads[f"dec{d}_U"] += dUd_
+        grads[f"dec{d}_b"] += dbd_
+    grads["embed"] += np.einsum("btv,btw->vw", Yin.astype(dt), dH)
+
+    # encoder stack backward
+    dHe = denc_top
+    for i in range(n_enc - 1, -1, -1):
+        dHe, dWe_, dUe_, dbe_ = _lstm_backward(
+            cc["enc_caches"][i], dHe, zero_w, zero_w,
+            params[f"enc{i}_W"], params[f"enc{i}_U"])
+        grads[f"enc{i}_W"] += dWe_
+        grads[f"enc{i}_U"] += dUe_
+        grads[f"enc{i}_b"] += dbe_
+    dfwd = dHe[:, :, :half]
+    dbwd = dHe[:, :, half:]
+    zero_f = np.zeros((B, half), dtype=dt)
+    zero_b = np.zeros((B, W - half), dtype=dt)
+    dX_f, dWf, dUf, dbf = _lstm_backward(
+        cc["fwd_cache"], dfwd, zero_f, zero_f, params["enc_fwd_W"], params["enc_fwd_U"])
+    dX_b, dWb, dUb, dbb = _lstm_backward(
+        cc["bwd_cache"], dbwd, zero_b, zero_b, params["enc_bwd_W"], params["enc_bwd_U"])
+    grads["enc_fwd_W"] += dWf; grads["enc_fwd_U"] += dUf; grads["enc_fwd_b"] += dbf
+    grads["enc_bwd_W"] += dWb; grads["enc_bwd_U"] += dUb; grads["enc_bwd_b"] += dbb
+    grads["embed"] += np.einsum("btv,btw->vw", X.astype(dt), dX_f + dX_b)
+    return loss, grads
+
+
+# --- scheduled sampling + encoder degradation (reference gen_data) ----------
+
+
+def sample_ratio(mode: str | None, completed_epochs: int, epochs: int) -> float:
+    """Reference schedule (seq2seq.py:865-875, attenuation 3): the
+    ratio applied during epoch k+1 after k completed epochs; 0 before
+    the first epoch ends."""
+    if not mode or completed_epochs < 1:
+        return 0.0
+    att = 3
+    if mode == "linear":
+        return att * (completed_epochs - 1) / max(epochs - 1, 1)
+    if mode == "sigmoid":
+        return 1.0 / (1.0 + math.exp(5 - 10 * att * completed_epochs / epochs))
+    if mode == "exponential":
+        return 1.0 - 0.9 ** (50 * att * completed_epochs / epochs)
+    raise ValueError(f"unknown scheduled-sampling mode {mode!r}")
+
+
+def _line_rand(source: str, epoch: int, salt: int) -> float:
+    """Deterministic uniform [0,1) per (line, epoch, purpose) — makes
+    scheduled-sampling draws and degradation positions identical under
+    any partitioning/chunking (local == distributed by construction)."""
+    h = hashlib.md5(f"{salt}:{epoch}:{source}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2.0**64
+
+
+def greedy_decoder_inputs(params: dict, X, src_mask, eos_idx: int) -> np.ndarray:
+    """Teacher-less greedy rollout → the decoder-INPUT feed sequence
+    (zero start row, then softmax feedback), the analogue of the
+    reference's decode_batch_greedy output used as
+    ``decoder_input_data_sampled`` (seq2seq.py:896-903). Data only — no
+    gradient flows through the rollout ("empirical scheduled sampling
+    (i.e. without proper gradient)", seq2seq.py:866)."""
+    E = params["embed"]
+    We, Wd, v = params["att_We"], params["att_Wd"], params["att_v"]
+    oW, ob = params["out_W"], params["out_b"]
+    dt = E.dtype
+    n_enc, n_dec = _stack_counts(params)
+    B, Ts, V = X.shape
+    W = Wd.shape[0]
     NEG = -1e9
-    for t in range(Tt):
-        feed = Yin[:, t, :].astype(dt)
+
+    Esrc = X.astype(dt) @ E
+    fwd_hs, _, _, _ = _lstm_forward(
+        Esrc, params["enc_fwd_W"], params["enc_fwd_U"], params["enc_fwd_b"])
+    bwd_hs, _, _, _ = _lstm_forward(
+        Esrc, params["enc_bwd_W"], params["enc_bwd_U"], params["enc_bwd_b"], reverse=True)
+    H = np.concatenate([fwd_hs, bwd_hs], axis=-1)
+    for i in range(n_enc):
+        H, _, _, _ = _lstm_forward(
+            H, params[f"enc{i}_W"], params[f"enc{i}_U"], params[f"enc{i}_b"])
+    enc_proj = H @ We
+
+    def lstm_step(x, h, c, Wl, Ul, bl):
+        Hh = Ul.shape[0]
+        z = x @ Wl + h @ Ul + bl
+        i = 1.0 / (1.0 + np.exp(-np.clip(z[:, :Hh], -30, 30)))
+        f = 1.0 / (1.0 + np.exp(-np.clip(z[:, Hh:2 * Hh] + 1.0, -30, 30)))
+        g = np.tanh(z[:, 2 * Hh:3 * Hh])
+        o = 1.0 / (1.0 + np.exp(-np.clip(z[:, 3 * Hh:], -30, 30)))
+        c2 = f * c + i * g
+        return o * np.tanh(c2), c2
+
+    hs = [np.zeros((B, W), dtype=dt) for _ in range(n_dec)]
+    cs = [np.zeros((B, W), dtype=dt) for _ in range(n_dec)]
+    feeds = [np.zeros((B, V), dtype=np.float32)]  # start symbol row
+    feed = feeds[0].astype(dt)
+    done = np.zeros(B, dtype=bool)
+    max_steps = 2 * max(Ts, 1)
+    for _ in range(max_steps - 1):
         x = feed @ E
-        z = x @ params["dec0_W"] + h @ params["dec0_U"] + params["dec0_b"]
-        i = 1.0 / (1.0 + np.exp(-np.clip(z[:, :W], -30, 30)))
-        f = 1.0 / (1.0 + np.exp(-np.clip(z[:, W:2 * W] + 1.0, -30, 30)))
-        g = np.tanh(z[:, 2 * W:3 * W])
-        o = 1.0 / (1.0 + np.exp(-np.clip(z[:, 3 * W:], -30, 30)))
-        c_new = f * c + i * g
-        h_new = o * np.tanh(c_new)
-        q = h_new @ Wd
-        s = np.tanh(enc_proj + q[:, None, :])  # (B,Ts,W)
-        e = s @ v
+        for d in range(n_dec):
+            hs[d], cs[d] = lstm_step(
+                x, hs[d], cs[d],
+                params[f"dec{d}_W"], params[f"dec{d}_U"], params[f"dec{d}_b"])
+            x = hs[d]
+        q = x @ Wd
+        e = np.tanh(enc_proj + q[:, None, :]) @ v
         e = np.where(src_mask, e, NEG)
         e = e - e.max(axis=1, keepdims=True)
         ex = np.exp(e)
         a = ex / ex.sum(axis=1, keepdims=True)
-        ctx = (a[:, :, None] * enc).sum(axis=1)
-        hc = np.concatenate([h_new, ctx], axis=1)
-        zz = np.tanh(hc @ oW)
+        ctx = (a[:, :, None] * H).sum(axis=1)
+        zz = np.tanh(np.concatenate([x, ctx], axis=1) @ oW)
         logits = zz @ E.T + ob
         logits = logits - logits.max(axis=1, keepdims=True)
         pe = np.exp(logits)
         p = pe / pe.sum(axis=1, keepdims=True)
-        ytgt = Ytgt[:, t, :].astype(dt)
-        m = Wm[:, t].astype(dt)
-        eps = 1e-12
-        loss += float(-(np.log((p * ytgt).sum(axis=1) + eps) * m).sum())
-        dec_cache.append((feed, x, h, c, i, f, g, o, c_new, h_new, q, s, a, ctx, hc, zz, p, ytgt, m))
-        h, c = h_new, c_new
-    loss /= n_valid
+        p[:, 0] = 0.0
+        feeds.append(p.astype(np.float32))
+        nxt = p.argmax(axis=1)
+        done |= nxt == eos_idx
+        feed = p
+        if done.all():
+            break
+    return np.stack(feeds, axis=1)  # (B, T', V)
 
-    # ---- backward -----------------------------------------------------------
-    denc = np.zeros_like(enc)
-    denc_proj = np.zeros_like(enc_proj)
-    dec_dhs = np.zeros((B, Tt, W), dtype=dt)  # per-step grads into h_new
-    dh_next = np.zeros((B, W), dtype=dt)
-    dc_next = np.zeros((B, W), dtype=dt)
-    dec_lstm_cache = []
-    for t, tup in enumerate(dec_cache):
-        (feed, x, h_prev, c_prev, i, f, g, o, c_new, h_new, q, s, a, ctx, hc, zz, p, ytgt, m) = tup
-        dec_lstm_cache.append((t, x, h_prev, c_prev, i, f, g, o, c_new))
-    for t in range(Tt - 1, -1, -1):
-        (feed, x, h_prev, c_prev, i, f, g, o, c_new, h_new, q, s, a, ctx, hc, zz, p, ytgt, m) = dec_cache[t]
-        dlogits = (p - ytgt) * (m / n_valid)[:, None]
-        dW_keys["out_b"] += dlogits.sum(axis=0)
-        dW_keys["embed"] += dlogits.T @ zz
-        dzz = dlogits @ E
-        dhc_pre = dzz * (1.0 - zz * zz)
-        dW_keys["out_W"] += hc.T @ dhc_pre
-        dhc = dhc_pre @ oW.T
-        dh_new = dhc[:, :W].copy()
-        dctx = dhc[:, W:]
-        da = np.einsum("bw,btw->bt", dctx, enc)
-        denc += a[:, :, None] * dctx[:, None, :]
-        de = a * (da - (da * a).sum(axis=1, keepdims=True))
-        de = np.where(src_mask, de, 0.0)
-        ds = de[:, :, None] * v[None, None, :]
-        dW_keys["att_v"] += np.einsum("btw,bt->w", s, de)
-        dpre = ds * (1.0 - s * s)
-        denc_proj += dpre
-        dq = dpre.sum(axis=1)
-        dh_new += dq @ Wd.T
-        dW_keys["att_Wd"] += h_new.T @ dq
-        dec_dhs[:, t, :] = dh_new
-    dX_dec, dWd_, dUd_, dbd_ = _lstm_backward(
-        dec_lstm_cache, dec_dhs, dh_next, dc_next, params["dec0_W"], params["dec0_U"])
-    dW_keys["dec0_W"] += dWd_
-    dW_keys["dec0_U"] += dUd_
-    dW_keys["dec0_b"] += dbd_
-    for t in range(Tt):
-        dW_keys["embed"] += Yin[:, t, :].astype(dt).T @ dX_dec[:, t, :]
 
-    # encoder side: enc_proj and ctx contributions
-    dW_keys["att_We"] += np.einsum("btw,btv->wv", enc, denc_proj)
-    denc += denc_proj @ We.T
-    dfwd = denc[:, :, :half]
-    dbwd = denc[:, :, half:]
-    zero_h = np.zeros((B, half), dtype=dt)
-    dX_f, dWf, dUf, dbf = _lstm_backward(
-        fwd_cache, dfwd, zero_h, zero_h, params["enc_fwd_W"], params["enc_fwd_U"])
-    dX_b, dWb, dUb, dbb = _lstm_backward(
-        bwd_cache, dbwd, np.zeros((B, W - half), dtype=dt), np.zeros((B, W - half), dtype=dt),
-        params["enc_bwd_W"], params["enc_bwd_U"])
-    dW_keys["enc_fwd_W"] += dWf; dW_keys["enc_fwd_U"] += dUf; dW_keys["enc_fwd_b"] += dbf
-    dW_keys["enc_bwd_W"] += dWb; dW_keys["enc_bwd_U"] += dUb; dW_keys["enc_bwd_b"] += dbb
-    dEsrc = dX_f + dX_b
-    dW_keys["embed"] += np.einsum("btv,btw->vw", X.astype(dt), dEsrc)
-    return loss, dW_keys
+def apply_scheduled_sampling(params, model_vocab, tensors, sources, epoch, ratio):
+    """Replace scheduled lines' decoder inputs with the greedy rollout
+    (reference gen_data:881-907: sampled inputs overwrite GT inputs;
+    target/weight arrays are resized to the sampled shape)."""
+    if ratio <= 0.0:
+        return tensors
+    X, src_mask, Yin, Ytgt, Wm = tensors
+    sel = np.array(
+        [_line_rand(s, epoch, 1) < ratio for s in sources], dtype=bool)
+    if not sel.any():
+        return tensors
+    sampled = greedy_decoder_inputs(params, X, src_mask, model_vocab[EOS])
+    Tn = sampled.shape[1]
+    B, Tt, V = Yin.shape
+
+    def resize(arr, T):
+        if arr.ndim == 3:
+            out = np.zeros((B, T, V), dtype=arr.dtype)
+            out[:, : min(T, arr.shape[1])] = arr[:, : min(T, arr.shape[1])]
+        else:
+            out = np.zeros((B, T), dtype=arr.dtype)
+            out[:, : min(T, arr.shape[1])] = arr[:, : min(T, arr.shape[1])]
+        return out
+
+    Yin2, Ytgt2, Wm2 = resize(Yin, Tn), resize(Ytgt, Tn), resize(Wm, Tn)
+    Yin2[sel] = sampled[sel]
+    return X, src_mask, Yin2, Ytgt2, Wm2
+
+
+def apply_encoder_degradation(X, sources, epoch):
+    """Reference gen_data:909-915: ~1% of lines get ONE random position
+    overwritten with the underspecified one-hot (index 0) so the model
+    learns character underspecification. In-place on a copy."""
+    B, Ts, V = X.shape
+    if Ts == 0:
+        return X
+    rand = np.array([_line_rand(s, epoch, 2) for s in sources])
+    pos = (Ts * rand / 0.01).astype(np.int64)
+    sel = pos < Ts
+    if not sel.any():
+        return X
+    X = X.copy()
+    rows = np.nonzero(sel)[0]
+    X[rows, pos[sel], :] = 0.0
+    X[rows, pos[sel], 0] = 1.0
+    return X
 
 
 class Adam:
@@ -292,24 +471,81 @@ class Adam:
         return out
 
 
+class EarlyStopper:
+    """Keras EarlyStopping(monitor='val_loss', patience, mode='min',
+    restore_best_weights=True) + TerminateOnNaN semantics as used by the
+    reference train loop (seq2seq.py:619-646): NaN terminates AND the
+    best weights are still recovered."""
+
+    def __init__(self, patience: int = 3):
+        self.patience = patience
+        self.best = float("inf")
+        self.best_params: dict | None = None
+        self.bad = 0
+
+    def update(self, val_loss: float, params: dict) -> bool:
+        """Record this epoch; returns True when training should stop."""
+        if math.isnan(val_loss):
+            return True
+        if val_loss < self.best:
+            self.best = val_loss
+            self.best_params = {k: p.copy() for k, p in params.items()}
+            self.bad = 0
+            return False
+        self.bad += 1
+        return self.bad >= self.patience
+
+    def restore(self, params: dict) -> dict:
+        return self.best_params if self.best_params is not None else params
+
+
 def train_local(
     model: Seq2SeqModel,
     pairs: list[tuple[str, str]],
     epochs: int = 30,
     lr: float = 2e-3,
+    val_pairs: list[tuple[str, str]] | None = None,
+    patience: int = 3,
+    scheduled_sampling: str | None = None,
+    encoder_degradation: bool = False,
 ) -> list[float]:
     """Full-batch Adam on (source, target) line pairs (EOS appended if
-    missing). Returns the per-epoch loss curve."""
+    missing). With ``val_pairs``, early-stops on validation loss
+    (patience epochs without improvement, best weights restored — the
+    reference's EarlyStopping configuration) and returns the per-epoch
+    VALIDATION loss curve; otherwise returns the training curve."""
     sources = [s if s.endswith(EOS) else s + EOS for s, _ in pairs]
     targets = [t if t.endswith(EOS) else t + EOS for _, t in pairs]
     params = get_params(model)
     tensors = vectorize_pairs(model, sources, targets)
+    val_tensors = None
+    if val_pairs:
+        vs = [s if s.endswith(EOS) else s + EOS for s, _ in val_pairs]
+        vt = [t if t.endswith(EOS) else t + EOS for _, t in val_pairs]
+        val_tensors = vectorize_pairs(model, vs, vt)
     opt = Adam(params, lr=lr)
+    stopper = EarlyStopper(patience=patience) if val_tensors else None
     losses = []
-    for _ in range(epochs):
-        loss, grads = forward_backward(params, *tensors)
+    for e in range(1, epochs + 1):
+        t = tensors
+        ratio = sample_ratio(scheduled_sampling, e - 1, epochs)
+        if ratio > 0.0:
+            t = apply_scheduled_sampling(params, model.vocab, t, sources, e, ratio)
+        if encoder_degradation:
+            t = (apply_encoder_degradation(t[0], sources, e),) + tuple(t[1:])
+        loss, grads = forward_backward(params, *t)
         params = opt.step(params, grads)
-        losses.append(loss)
+        if stopper is not None:
+            vloss = forward_loss(params, *val_tensors)
+            losses.append(vloss)
+            if stopper.update(vloss, params):
+                break
+        else:
+            losses.append(loss)
+            if math.isnan(loss):
+                break
+    if stopper is not None:
+        params = stopper.restore(params)
     set_params(model, params)
     return losses
 
@@ -322,11 +558,20 @@ def train_distributed(
     lr: float = 2e-3,
     chunk: int = 64,
     length_bucket: bool = True,
+    val_df=None,
+    patience: int = 3,
+    scheduled_sampling: str | None = None,
+    encoder_degradation: bool = False,
 ) -> list[float]:
     """Synchronous data-parallel SGD: per epoch, broadcast the weights,
     compute per-partition (gradient sums, loss sum, count) over row
     chunks, treeAggregate to the driver, Adam-update, re-broadcast.
     ``pairs_df``: DataFrame(source, target).
+
+    With ``val_df``, validation loss is computed distributed the same
+    way (forward only) and drives reference-style early stopping
+    (patience, best-weights restore, NaN guard); the returned curve is
+    then the validation curve.
 
     ``length_bucket`` range-partitions and sorts the pairs by source
     length so every chunk is near-uniform — the reference's batching
@@ -347,10 +592,15 @@ def train_distributed(
             max(sc.defaultParallelism, 2), F.length("source")
         ).sortWithinPartitions(F.length("source"))
     rdd = pairs_df.rdd.cache()
-    for _ in range(epochs):
-        bc = sc.broadcast(params)
+    val_rdd = None
+    if val_df is not None:
+        val_rdd = val_df.select("source", "target").rdd.cache()
+    stopper = EarlyStopper(patience=patience) if val_rdd is not None else None
 
-        def part_grads(rows):
+    def run_epoch(bc, epoch: int, ratio: float, degrade: bool, backward: bool):
+        """One pass over an RDD → (grad sums or None, loss sum, n)."""
+
+        def part_fn(rows):
             m = Seq2SeqModel(meta["vocab"], width=meta["width"],
                              depth=meta["depth"], window=meta["window"])
             set_params(m, bc.value)
@@ -365,14 +615,23 @@ def train_distributed(
                 if not buf_s:
                     return
                 tensors = vectorize_pairs(m, list(buf_s), list(buf_t))
+                if backward and ratio > 0.0:
+                    tensors = apply_scheduled_sampling(
+                        p, meta["vocab"], tensors, list(buf_s), epoch, ratio)
+                if backward and degrade:
+                    tensors = (apply_encoder_degradation(
+                        tensors[0], list(buf_s), epoch),) + tuple(tensors[1:])
                 n_valid = max(float(tensors[4].sum()), 1.0)
-                loss, grads = forward_backward(p, *tensors)
-                # convert mean-grads back to sums for correct global mean
-                if acc is None:
-                    acc = {k: g * n_valid for k, g in grads.items()}
+                if backward:
+                    loss, grads = forward_backward(p, *tensors)
+                    # convert mean-grads back to sums for correct global mean
+                    if acc is None:
+                        acc = {k: g * n_valid for k, g in grads.items()}
+                    else:
+                        for k in acc:
+                            acc[k] += grads[k] * n_valid
                 else:
-                    for k in acc:
-                        acc[k] += grads[k] * n_valid
+                    loss = forward_loss(p, *tensors)
                 loss_sum += loss * n_valid
                 n += n_valid
                 buf_s.clear()
@@ -386,7 +645,7 @@ def train_distributed(
                 if len(buf_s) >= chunk:
                     flush()
             flush()
-            if acc is None:
+            if n == 0:
                 return iter([])
             return iter([(acc, loss_sum, n)])
 
@@ -395,18 +654,43 @@ def train_distributed(
                 return b
             if b is None:
                 return a
-            for k in a[0]:
-                a[0][k] += b[0][k]
-            return (a[0], a[1] + b[1], a[2] + b[2])
+            if a[0] is not None and b[0] is not None:
+                for k in a[0]:
+                    a[0][k] += b[0][k]
+            return (a[0] if a[0] is not None else b[0], a[1] + b[1], a[2] + b[2])
 
-        agg = rdd.mapPartitions(part_grads).treeAggregate(None, lambda z, x: comb(z, x), comb)
-        bc.unpersist()
+        src = rdd if backward else val_rdd
+        return src.mapPartitions(part_fn).treeAggregate(
+            None, lambda z, x: comb(z, x), comb)
+
+    for e in range(1, epochs + 1):
+        bc = sc.broadcast(params)
+        ratio = sample_ratio(scheduled_sampling, e - 1, epochs)
+        agg = run_epoch(bc, e, ratio, encoder_degradation, backward=True)
         if agg is None:
+            bc.unpersist()
             break
         grads_sum, loss_sum, n = agg
         grads = {k: g / n for k, g in grads_sum.items()}
         params = opt.step(params, grads)
-        losses.append(loss_sum / n)
+        if stopper is not None:
+            bc.unpersist()
+            bc = sc.broadcast(params)
+            vagg = run_epoch(bc, e, 0.0, False, backward=False)
+            bc.unpersist()
+            vloss = vagg[1] / vagg[2] if vagg is not None else float("nan")
+            losses.append(vloss)
+            if stopper.update(vloss, params):
+                break
+        else:
+            bc.unpersist()
+            losses.append(loss_sum / n)
+            if math.isnan(loss_sum / n):
+                break
+    if stopper is not None:
+        params = stopper.restore(params)
     rdd.unpersist()
+    if val_rdd is not None:
+        val_rdd.unpersist()
     set_params(model, params)
     return losses

@@ -4,11 +4,17 @@ Spark analogue of the reference's `cor-asv-ann-train` CLI
 train/val split, fit with early stopping).
 
     python jobs/run_train.py --data pairs.tsv --out model.npz \
-        [--width 32] [--epochs 20] [--lr 2e-3] [--val-split 0.1]
+        [--width 32] [--depth 2] [--epochs 20] [--lr 2e-3] \
+        [--val-split 0.1] [--patience 3] \
+        [--scheduled-sampling linear|sigmoid|exponential] [--degrade]
 
 Distributed synchronous SGD: weights broadcast per epoch, per-partition
-gradient sums, one treeAggregate per epoch (model/train_np.py). Prints
-one JSON line with the loss curve and held-out CER before/after.
+gradient sums, one treeAggregate per epoch (model/train_np.py); with a
+val split, validation loss drives reference-style early stopping
+(patience 3, best weights restored — seq2seq.py:619-623) and optional
+scheduled sampling / encoder degradation replay the reference's
+gen_data training-time transforms. Prints one JSON line with the loss
+curve and held-out CER before/after.
 """
 
 from __future__ import annotations
@@ -25,9 +31,17 @@ def main() -> None:
     ap.add_argument("--data", required=True, nargs="+")
     ap.add_argument("--out", required=True, help="output .npz weights")
     ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--depth", type=int, default=1,
+                    help="LSTM stack depth per side (reference default: 2)")
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--val-split", type=float, default=0.1)
+    ap.add_argument("--patience", type=int, default=3,
+                    help="early-stopping patience on val loss (0 = off)")
+    ap.add_argument("--scheduled-sampling", choices=["linear", "sigmoid", "exponential"],
+                    default=None)
+    ap.add_argument("--degrade", action="store_true",
+                    help="encoder degradation (~1%% of lines, one position → index 0)")
     ap.add_argument(
         "--val-cap",
         type=int,
@@ -61,7 +75,7 @@ def main() -> None:
         .collect()
     )
     vocab_chars = {r.ch for r in chars}
-    model = Seq2SeqModel(make_vocab(vocab_chars), width=args.width, depth=1)
+    model = Seq2SeqModel(make_vocab(vocab_chars), width=args.width, depth=args.depth)
 
     train, val = pairs.randomSplit([1 - args.val_split, args.val_split], seed=42)
     train = train.persist()
@@ -105,7 +119,11 @@ def main() -> None:
 
     cer_before = val_cer()
     losses = train_distributed(
-        spark, train, model, epochs=args.epochs, lr=args.lr
+        spark, train, model, epochs=args.epochs, lr=args.lr,
+        val_df=val if (n_val and args.patience) else None,
+        patience=args.patience or 3,
+        scheduled_sampling=args.scheduled_sampling,
+        encoder_degradation=args.degrade,
     )
     cer_after = val_cer()
     model.save_npz(args.out)
@@ -114,6 +132,8 @@ def main() -> None:
             {
                 "n_train": train.count(),
                 "n_val": n_val,
+                "depth": args.depth,
+                "n_epochs_run": len(losses),
                 "loss_first": round(losses[0], 6) if losses else None,
                 "loss_last": round(losses[-1], 6) if losses else None,
                 "val_cer_before": cer_before,

@@ -7,25 +7,32 @@ import pytest
 
 from cor_asv_ann_spark.model.seq2seq_np import EOS, Seq2SeqModel, make_vocab
 from cor_asv_ann_spark.model.train_np import (
+    apply_encoder_degradation,
+    apply_scheduled_sampling,
     forward_backward,
+    forward_loss,
     get_params,
+    sample_ratio,
     train_distributed,
     train_local,
     vectorize_pairs,
 )
 
 
-def tiny_setup(width=6, chars="ab \n", seed=3):
-    model = Seq2SeqModel(make_vocab(set(chars)), width=width, depth=1, seed=seed)
+def tiny_setup(width=6, chars="ab \n", seed=3, depth=1):
+    model = Seq2SeqModel(make_vocab(set(chars)), width=width, depth=depth, seed=seed)
     params = {k: p.astype(np.float64) for k, p in get_params(model).items()}
     tensors = vectorize_pairs(model, ["ab\n", "b a\n"], ["ba\n", "a b\n"])
     return model, params, tensors
 
 
-def test_gradcheck_all_parameters():
+@pytest.mark.parametrize("depth", [1, 2])
+def test_gradcheck_all_parameters(depth):
     """Central finite differences vs analytic BPTT for sampled entries
-    of EVERY parameter tensor (float64, rel err < 1e-4)."""
-    _, params, tensors = tiny_setup()
+    of EVERY parameter tensor (float64, rel err < 1e-4) — at depth 1
+    AND the reference's published depth 2 (stacked encoder + stacked
+    decoder layers enter the graph)."""
+    _, params, tensors = tiny_setup(depth=depth)
     loss0, grads = forward_backward(params, *tensors)
     assert loss0 > 0
     rng = np.random.default_rng(0)
@@ -53,7 +60,7 @@ def test_gradcheck_all_parameters():
                 f"{key}[{ix}]: numeric {num} vs analytic {ana} (rel {rel:.2e})"
             )
             checked += 1
-    assert checked >= 15 * 4 - 10  # every tensor sampled
+    assert checked >= (15 + (6 if depth == 2 else 0)) * 4 - 10  # every tensor sampled
 
 
 def test_padding_mask_excludes_loss():
@@ -120,6 +127,117 @@ def test_distributed_matches_local(spark):
     for a, b in zip(local_losses, dist_losses):
         assert a == pytest.approx(b, rel=1e-5)
     # and the resulting weights decode identically
+    o1, _, _ = m_local.decode_greedy_batch(["ab\n"])
+    o2, _, _ = m_dist.decode_greedy_batch(["ab\n"])
+    assert o1 == o2
+
+
+def test_depth2_trains():
+    """run_train --depth 2 semantics: the depth-2 graph must actually
+    learn (loss collapses) and decode through the standard inference
+    path."""
+    chars = "ab \n"
+    model = Seq2SeqModel(make_vocab(set(chars)), width=10, depth=2, seed=7)
+    pairs = [("ab\n", "ba\n"), ("b a\n", "a b\n")]
+    losses = train_local(model, pairs, epochs=120, lr=5e-3)
+    assert losses[-1] < 0.5 * losses[0]
+    outs, _, _ = model.decode_greedy_batch(["ab\n"])
+    assert outs[0].endswith("\n")
+
+
+def test_early_stopping_restores_best_weights():
+    """Reference EarlyStopping semantics (seq2seq.py:619-623): stop
+    after `patience` epochs without val improvement and restore the
+    weights of the best epoch — the restored params must reproduce the
+    minimum of the returned validation curve exactly."""
+    chars = "ab \n"
+    model = Seq2SeqModel(make_vocab(set(chars)), width=8, depth=1, seed=3)
+    pairs = [("ab\n", "ba\n"), ("b a\n", "a b\n")]
+    val = [("ba\n", "ab\n")]
+    # aggressive lr makes the val curve non-monotonic quickly
+    losses = train_local(model, pairs, epochs=200, lr=0.25, val_pairs=val, patience=2)
+    assert len(losses) < 200, "early stopping never triggered"
+    params = {k: p.astype(np.float64) for k, p in get_params(model).items()}
+    vs = [s for s, _ in val]
+    vt = [t for _, t in val]
+    tensors = vectorize_pairs(model, [s if s.endswith("\n") else s + "\n" for s in vs],
+                              [t if t.endswith("\n") else t + "\n" for t in vt])
+    restored = forward_loss(params, *tensors)
+    assert restored == pytest.approx(min(losses), rel=1e-6)
+
+
+def test_scheduled_sampling_schedule_and_effect():
+    """The schedule replays the reference formulas (attenuation 3,
+    ratio 0 before the first epoch completes) and a ratio-1 sampling
+    pass actually swaps decoder inputs for rollout feedback."""
+    assert sample_ratio("linear", 0, 10) == 0.0
+    assert sample_ratio("linear", 1, 10) == 0.0  # 3*(1-1)/9
+    assert sample_ratio("linear", 4, 10) == pytest.approx(1.0)  # 3*3/9
+    assert sample_ratio("sigmoid", 5, 10) == pytest.approx(1 / (1 + np.exp(5 - 15)))
+    assert sample_ratio("exponential", 1, 10) == pytest.approx(1 - 0.9**15)
+    with pytest.raises(ValueError):
+        sample_ratio("bogus", 1, 10)
+
+    model, params, tensors = tiny_setup(width=8)
+    sources = ["ab\n", "b a\n"]
+    out = apply_scheduled_sampling(params, model.vocab, tensors, sources, 3, 1.0)
+    # decoder inputs replaced (start row still zero, later rows are
+    # softmax feedback, not one-hots), targets/weights reshaped alike
+    assert out[2].shape == out[3].shape and out[4].shape == out[2].shape[:2]
+    assert np.allclose(out[2][:, 0, :], 0.0)
+    if out[2].shape[1] > 1:
+        row = out[2][0, 1, :]
+        # softmax feedback with index 0 zeroed (inference semantics):
+        # mass ≤ 1, spread over several chars — not a GT one-hot
+        assert 0.0 < row.sum() <= 1.0 + 1e-5 and row[0] == 0.0
+        assert (row > 0).sum() > 1
+    # and training with sampling still learns
+    m2 = Seq2SeqModel(make_vocab(set("ab \n")), width=10, depth=1, seed=5)
+    losses = train_local(m2, [("ab\n", "ba\n"), ("b a\n", "a b\n")],
+                         epochs=60, lr=5e-3, scheduled_sampling="linear")
+    assert losses[-1] < losses[0]
+
+
+def test_encoder_degradation_deterministic_and_bounded():
+    """Degradation hits ~1% of lines at one position (reference
+    gen_data:909-915), is deterministic per (line, epoch), and leaves
+    the original tensor untouched."""
+    rng = np.random.default_rng(0)
+    X = rng.random((400, 12, 5)).astype(np.float32)
+    sources = [f"line{i}\n" for i in range(400)]
+    X1 = apply_encoder_degradation(X, sources, epoch=1)
+    X2 = apply_encoder_degradation(X, sources, epoch=1)
+    assert np.array_equal(X1, X2)
+    changed = np.nonzero((X1 != X).any(axis=(1, 2)))[0]
+    assert 0 < len(changed) < 40  # ~1% of 400 lines, loose upper bound
+    for b in changed:
+        rows = np.nonzero((X1[b] != X[b]).any(axis=1))[0]
+        assert len(rows) == 1
+        assert X1[b, rows[0], 0] == 1.0 and X1[b, rows[0], 1:].sum() == 0.0
+    X3 = apply_encoder_degradation(X, sources, epoch=2)
+    assert not np.array_equal(X1, X3)  # re-drawn per epoch
+
+
+def test_distributed_early_stopping_matches_local(spark):
+    """val_df-driven early stopping walks the same validation curve as
+    the local loop (deterministic per-line randomness ⇒ identical under
+    any partitioning)."""
+    chars = "abc \n"
+    pairs = [("ab\n", "ba\n"), ("ca\n", "ac\n"), ("bc\n", "cb a\n"), ("a \n", "a\n")]
+    val = [("ab\n", "ba\n"), ("ca\n", "ac\n")]
+
+    m_local = Seq2SeqModel(make_vocab(set(chars)), width=8, depth=1, seed=11)
+    local_losses = train_local(m_local, pairs, epochs=4, lr=1e-3,
+                               val_pairs=val, patience=3)
+
+    m_dist = Seq2SeqModel(make_vocab(set(chars)), width=8, depth=1, seed=11)
+    pairs_df = spark.createDataFrame(pairs, ["source", "target"]).repartition(3)
+    val_df = spark.createDataFrame(val, ["source", "target"])
+    dist_losses = train_distributed(spark, pairs_df, m_dist, epochs=4, lr=1e-3,
+                                    chunk=2, val_df=val_df, patience=3)
+    assert len(local_losses) == len(dist_losses)
+    for a, b in zip(local_losses, dist_losses):
+        assert a == pytest.approx(b, rel=1e-5)
     o1, _, _ = m_local.decode_greedy_batch(["ab\n"])
     o2, _, _ = m_dist.decode_greedy_batch(["ab\n"])
     assert o1 == o2
