@@ -50,6 +50,7 @@ def write_keras_fixture(
     bridge_dense: bool = False,
     residual: bool = False,
     deep_bidirectional: bool = False,
+    stateful: bool = False,
     **h5_layout,
 ) -> dict:
     """Write a seeded random model in the reference's exact HDF5 layout
@@ -83,7 +84,7 @@ def write_keras_fixture(
         "config": {
             "width": np.array(W),
             "depth": np.array(D),
-            "stateful": np.array(False),
+            "stateful": np.array(stateful),
             "residual_connections": np.array(residual),
             "deep_bidirectional_encoder": np.array(deep_bidirectional),
             "bridge_dense": np.array(bridge_dense),
@@ -240,11 +241,15 @@ class RefSeq2Seq:
         self.residual = bool(scalar(config.get("residual_connections", False)))
         self.bridge = bool(scalar(config.get("bridge_dense", False)))
         self.deep_bidi = bool(scalar(config.get("deep_bidirectional_encoder", False)))
-        if bool(scalar(config.get("stateful", False))):
-            # stateful models thread per-page line state through training
-            # continuation; the published models are stateless (their
-            # filenames literally carry ".stateless.")
-            raise NotImplementedError("stateful inference graphs")
+        # stateful models thread decoder state across consecutive lines
+        # (the reference saves/loads the flag, seq2seq.py:1134/1152, and
+        # its generator resets state at file boundaries —
+        # gen_data:851-853, callbacks.py ResetStatesCallback; published
+        # correction models are stateless, their filenames literally
+        # carry ".stateless."). Decode such models line-sequentially per
+        # document via :meth:`decode_greedy_docs`; the stateless batch
+        # path also works and simply ignores continuation.
+        self.stateful = bool(scalar(config.get("stateful", False)))
         self.window = 5  # fixed in the reference (seq2seq.py:349)
         mapping = config["mapping"]  # uint32 codepoints, index 0 = ''
         self.c_i = {(chr(c) if c > 0 else ""): i for i, c in enumerate(mapping)}
@@ -562,14 +567,87 @@ class RefSeq2Seq:
         X, lens = self.encode_onehot(texts)
         return self._decode_greedy_X(X, lens)
 
-    def _decode_greedy_X(self, X: np.ndarray, lens: np.ndarray):
+    def decode_greedy_docs(self, doc_lines: list[list[str]]):
+        """Stateful greedy decode: each document's lines run in order
+        with the decoder LSTM states CARRIED from line to line, reset at
+        document boundaries (the reference's stateful-mode contract —
+        state transfer between batches, ResetStatesCallback reset at
+        file/EOF boundaries). Vectorized across documents: round r
+        decodes every document's r-th line in ONE batched pass, so the
+        numpy matmuls amortize over documents while each document's
+        lines stay strictly sequential.
+
+        Returns per-document lists of (texts, probs, aligns) with the
+        same per-line contract as :meth:`decode_greedy_batch`. Alignment
+        state is per-line (attention is over each line's own encoder
+        output) — only the LSTM (h, c) carry across lines."""
+        n_docs = len(doc_lines)
+        outs = [[] for _ in range(n_docs)]
+        probs = [[] for _ in range(n_docs)]
+        aligns = [[] for _ in range(n_docs)]
+        carried: list[tuple | None] = [None] * n_docs
+        r = 0
+        while True:
+            lanes = [d for d in range(n_docs) if r < len(doc_lines[d])]
+            if not lanes:
+                break
+            texts = [doc_lines[d][r] for d in lanes]
+            X, lens = self.encode_onehot(texts)
+            init = None
+            if r > 0:
+                init = [
+                    (
+                        np.stack([carried[d][n][0] for d in lanes]),
+                        np.stack([carried[d][n][1] for d in lanes]),
+                    )
+                    for n in range(self.depth)
+                ]
+            if X.shape[1] == 0:
+                # batch of empty lines: emit EOS, states pass through
+                for d in lanes:
+                    outs[d].append(EOS)
+                    probs[d].append([1.0])
+                    aligns[d].append(np.ones((1, 1), dtype=np.float32))
+                    if carried[d] is None:
+                        carried[d] = [
+                            (np.zeros(self.width, np.float32),
+                             np.zeros(self.width, np.float32))
+                            for _ in range(self.depth)
+                        ]
+                r += 1
+                continue
+            o, p, a, fin = self._decode_greedy_X(
+                X, lens, init_dec_states=init, return_states=True)
+            for i, d in enumerate(lanes):
+                outs[d].append(o[i])
+                probs[d].append(p[i])
+                aligns[d].append(a[i])
+                carried[d] = [(fin[n][0][i], fin[n][1][i]) for n in range(self.depth)]
+            r += 1
+        return outs, probs, aligns
+
+    def _decode_greedy_X(
+        self,
+        X: np.ndarray,
+        lens: np.ndarray,
+        init_dec_states: list | None = None,
+        return_states: bool = False,
+    ):
         B, T, V = X.shape
         if T == 0:
             return [EOS] * B, [[1.0]] * B, [np.ones((1, 1), dtype=np.float32)] * B
         enc_out, states = self.encode(X)
         u = enc_out @ self.att_dense  # decoder-independent annotation half
-        h = [s[0].copy() for s in states]
-        c = [s[1].copy() for s in states]
+        if init_dec_states is not None:
+            # stateful continuation: carried decoder states replace the
+            # encoder-derived initialisation
+            h = [s[0].copy() for s in init_dec_states]
+            c = [s[1].copy() for s in init_dec_states]
+        else:
+            h = [s[0].copy() for s in states]
+            c = [s[1].copy() for s in states]
+        fin_h = [s.copy() for s in h]
+        fin_c = [s.copy() for s in c]
         prev_a = np.zeros((B, T), dtype=np.float32)
         feed = np.zeros((B, V), dtype=np.float32)  # start-of-sequence
         steps_idx = np.arange(T, dtype=np.float32)
@@ -606,12 +684,22 @@ class RefSeq2Seq:
             rec_prob[step, active] = p[rows, nxt][active]
             rec_attn[step, active, :] = a[active, :]
             emitted_eos = np.array([self.i_c.get(int(i), "") == EOS for i in nxt])
-            done |= active & emitted_eos
+            just_done = active & emitted_eos
+            if return_states and just_done.any():
+                # freeze each line's carry-state at its own EOS step
+                for n in range(self.depth):
+                    fin_h[n][just_done] = h[n][just_done]
+                    fin_c[n][just_done] = c[n][just_done]
+            done |= just_done
             n_steps = step + 1
             feed = p  # soft feedback (reference: decoder_input_data = scores)
             prev_a = a
             if done.all():
                 break
+        if return_states and not done.all():
+            for n in range(self.depth):
+                fin_h[n][~done] = h[n][~done]
+                fin_c[n][~done] = c[n][~done]
         outs, probs, aligns = [], [], []
         for b in range(B):
             col = rec_idx[:n_steps, b]
@@ -635,4 +723,6 @@ class RefSeq2Seq:
             outs.append("".join(chars))
             probs.append(pr)
             aligns.append(al)
+        if return_states:
+            return outs, probs, aligns, list(zip(fin_h, fin_c))
         return outs, probs, aligns

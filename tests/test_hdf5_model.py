@@ -387,3 +387,53 @@ def test_keras_fixture_loads_from_real_layouts(tmp_path):
         m = RefSeq2Seq.load_h5(p)
         out, _, _ = m.decode_greedy_batch(["hello\n", "world x\n"])
         assert out == base, f"layout {layout} decoded differently"
+
+
+def test_stateful_model_loads_and_carries_state(tmp_path):
+    """A stateful=True model file (seq2seq.py saves/loads the flag,
+    1134/1152) must load — a user transferring an LM hits this first —
+    and decode_greedy_docs must thread decoder LSTM state across a
+    document's lines with reset at document boundaries (the reference's
+    state-transfer-between-batches contract, ResetStatesCallback reset
+    at EOF)."""
+    import numpy as np
+
+    p = str(tmp_path / "stateful.h5")
+    write_keras_fixture(p, width=16, depth=2, seed=9, stateful=True)
+    m = RefSeq2Seq.load_h5(p)
+    assert m.stateful is True
+
+    line = "the same line\n"
+    docs = [[line, line], [line, line]]
+    outs, probs, aligns = m.decode_greedy_docs(docs)
+
+    # line 1 uses the encoder-derived init — identical to the stateless
+    # batch path
+    stateless, sprobs, _ = m.decode_greedy_batch([line])
+    assert outs[0][0] == stateless[0]
+    assert np.allclose(probs[0][0], sprobs[0])
+
+    # line 2 starts from line 1's carried (h, c): its decoder
+    # trajectory must differ numerically from line 1's
+    assert not (
+        outs[0][1] == outs[0][0]
+        and len(probs[0][1]) == len(probs[0][0])
+        and np.allclose(probs[0][1], probs[0][0])
+    ), "carried state had no effect"
+
+    # documents are isolated: identical docs decode identically
+    # (state resets at the boundary; lanes do not cross-talk)
+    assert outs[0] == outs[1]
+    for a, b in zip(probs[0], probs[1]):
+        assert np.allclose(a, b)
+
+    # and a doc run alone matches its lane in the vectorized run
+    solo_outs, solo_probs, _ = m.decode_greedy_docs([docs[0]])
+    assert solo_outs[0] == outs[0]
+
+    # ragged docs: a 3-line doc next to a 1-line doc round-robins fine
+    r_outs, _, r_aligns = m.decode_greedy_docs([[line, "ab\n", "xyz\n"], [line]])
+    assert len(r_outs[0]) == 3 and len(r_outs[1]) == 1
+    assert r_outs[1][0] == stateless[0]
+    for al, src in zip(r_aligns[0], [line, "ab\n", "xyz\n"]):
+        assert al.shape[1] == len(src)
