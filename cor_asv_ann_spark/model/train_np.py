@@ -156,6 +156,14 @@ def _lstm_backward(cache, dhs, dh_last, dc_last, W, U):
     return dX, dW, dU, db
 
 
+def _att_chunk(B: int, Ts: int, W: int, budget: float = 4e7) -> int:
+    """Time-chunk size that keeps the (B,ct,Ts,W) attention tanh
+    intermediate under ~budget elements (~320 MB float64): the one
+    tensor that would otherwise scale as B·Tt·Ts·W and blow executor
+    memory at reference width 512 on long lines."""
+    return max(1, int(budget / max(B * Ts * W, 1)))
+
+
 def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool):
     """Shared teacher-forced forward pass.
 
@@ -194,8 +202,15 @@ def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool):
     Htop = Hd  # (B,Tt,W)
 
     q = Htop @ Wd  # (B,Tt,W)
-    s = np.tanh(enc_proj[:, None, :, :] + q[:, :, None, :])  # (B,Tt,Ts,W)
-    e = s @ v  # (B,Tt,Ts)
+    # attention energies computed in time chunks: the (B,ct,Ts,W) tanh
+    # intermediate is the one tensor that would not fit executor memory
+    # at reference width (512) on long lines — only a (B,Tt,Ts) survives
+    B_, Tt_, _ = q.shape
+    Ts_ = enc_proj.shape[1]
+    e = np.empty((B_, Tt_, Ts_), dtype=dt)
+    for lo in range(0, Tt_, _att_chunk(B_, Ts_, q.shape[2])):
+        hi = min(lo + _att_chunk(B_, Ts_, q.shape[2]), Tt_)
+        e[:, lo:hi] = np.tanh(enc_proj[:, None, :, :] + q[:, lo:hi, None, :]) @ v
     e = np.where(src_mask[:, None, :], e, NEG)
     e = e - e.max(axis=2, keepdims=True)
     ex = np.exp(e)
@@ -215,8 +230,9 @@ def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool):
         return loss, None
     cache = dict(
         fwd_cache=fwd_cache, bwd_cache=bwd_cache, enc_caches=enc_caches,
-        dec_caches=dec_caches, enc_top=enc_top, Htop=Htop, q=q, s=s, a=a,
-        ctx=ctx, hc=hc, zz=zz, p=p, n_valid=n_valid, n_enc=n_enc, n_dec=n_dec,
+        dec_caches=dec_caches, enc_top=enc_top, enc_proj=enc_proj, Htop=Htop,
+        q=q, a=a, ctx=ctx, hc=hc, zz=zz, p=p, n_valid=n_valid,
+        n_enc=n_enc, n_dec=n_dec,
     )
     return loss, cache
 
@@ -240,8 +256,9 @@ def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
     B = X.shape[0]
 
     loss, cc = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=True)
-    enc_top, Htop, s, a, ctx, hc, zz, p = (
-        cc["enc_top"], cc["Htop"], cc["s"], cc["a"], cc["ctx"], cc["hc"], cc["zz"], cc["p"])
+    enc_top, enc_proj, Htop, q, a, ctx, hc, zz, p = (
+        cc["enc_top"], cc["enc_proj"], cc["Htop"], cc["q"], cc["a"], cc["ctx"],
+        cc["hc"], cc["zz"], cc["p"])
     n_valid, n_enc, n_dec = cc["n_valid"], cc["n_enc"], cc["n_dec"]
 
     grads = {k: np.zeros_like(pv) for k, pv in params.items()}
@@ -260,10 +277,19 @@ def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
     denc_top = np.einsum("bts,btw->bsw", a, dctx)
     de = a * (da - (da * a).sum(axis=2, keepdims=True))
     de = np.where(src_mask[:, None, :], de, 0.0)
-    grads["att_v"] += np.einsum("btsw,bts->w", s, de)
-    dpre = de[:, :, :, None] * v[None, None, None, :] * (1.0 - s * s)  # (B,Tt,Ts,W)
-    denc_proj = dpre.sum(axis=1)  # (B,Ts,W)
-    dq = dpre.sum(axis=2)  # (B,Tt,W)
+    # recompute the tanh intermediate per time chunk (forward stored
+    # only the (B,Tt,Ts) attention weights — see _forward)
+    B_, Tt_, Ts_ = de.shape
+    denc_proj = np.zeros_like(enc_proj)  # (B,Ts,W)
+    dq = np.empty_like(q)  # (B,Tt,W)
+    step = _att_chunk(B_, Ts_, W)
+    for lo in range(0, Tt_, step):
+        hi = min(lo + step, Tt_)
+        s_ch = np.tanh(enc_proj[:, None, :, :] + q[:, lo:hi, None, :])
+        grads["att_v"] += np.einsum("btsw,bts->w", s_ch, de[:, lo:hi])
+        dpre = de[:, lo:hi, :, None] * v[None, None, None, :] * (1.0 - s_ch * s_ch)
+        denc_proj += dpre.sum(axis=1)
+        dq[:, lo:hi] = dpre.sum(axis=2)
     dHtop += dq @ Wd.T
     grads["att_Wd"] += np.einsum("btw,btx->wx", Htop, dq)
     grads["att_We"] += np.einsum("bsw,bsx->wx", enc_top, denc_proj)

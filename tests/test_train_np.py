@@ -266,3 +266,18 @@ def test_run_train_job_val_bounded(tmp_path):
     assert rep["n_val"] <= 2
     assert rep["val_cer_before"] is None or 0.0 <= rep["val_cer_before"] <= 1.0
     assert out.exists()
+
+
+def test_attention_chunking_invariant(monkeypatch):
+    """The time-chunked attention recompute (memory guard for wide
+    models on long lines) must produce identical loss and gradients at
+    chunk size 1 as in one shot."""
+    import cor_asv_ann_spark.model.train_np as tn
+
+    _, params, tensors = tiny_setup(depth=2)
+    loss_full, grads_full = forward_backward(params, *tensors)
+    monkeypatch.setattr(tn, "_att_chunk", lambda B, Ts, W, budget=0: 1)
+    loss_1, grads_1 = forward_backward(params, *tensors)
+    assert loss_1 == pytest.approx(loss_full, rel=1e-12)
+    for k in grads_full:
+        assert np.allclose(grads_full[k], grads_1[k], rtol=1e-10, atol=1e-12), k
