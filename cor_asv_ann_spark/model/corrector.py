@@ -143,3 +143,38 @@ def make_model_corrector(
     corrector.wants_conf = use_conf
     corrector.wants_confmat = use_confmat
     return corrector
+
+
+def make_stateful_doc_corrector(spark, model):
+    """Document-sequential corrector for STATEFUL models (h5 config
+    stateful=True, seq2seq.py:1134/1152): decoder LSTM state carries
+    across a document's lines, reset at document boundaries. Takes
+    per-document line lists; lines of many documents still advance in
+    lockstep (one batched pass per round — model.decode_greedy_docs).
+
+    Returns ``correct_docs(doc_lines) -> (outs, probs, paths)`` with
+    per-document lists, consumed by
+    ``operators.correction.correct_lines_stateful``."""
+    bc = spark.sparkContext.broadcast(model_state(model))
+
+    def _model():
+        key = id(bc)
+        m = _MODEL_CACHE.get(key)
+        if m is None:
+            m = _model_from_state(bc.value)
+            _MODEL_CACHE[key] = m
+        return m
+
+    def correct_docs(doc_lines: list[list[str]]):
+        m = _model()
+        outs, probs, aligns = m.decode_greedy_docs(doc_lines)
+        paths = [
+            [
+                viterbi_path(al[:, : len(t)] if al.size else al)
+                for t, al in zip(lines_, als)
+            ]
+            for lines_, als in zip(doc_lines, aligns)
+        ]
+        return outs, probs, paths
+
+    return correct_docs

@@ -199,7 +199,12 @@ def correct_lines(
     lines = lines.repartition(n_partitions, "doc_id", "line_no")
     out = lines.mapInPandas(make_correct_lines_udf(corrector), schema=CORRECTED_LINE_SCHEMA)
     # per-line CER via the JVM builtin (a pure-Python DP here was 70% of
-    # the whole UDF stage's CPU — Levenshtein-fast semantics, F1)
+    # the whole UDF stage's CPU)
+    return _line_cer_col(out)
+
+
+def _line_cer_col(out: DataFrame) -> DataFrame:
+    """Per-line CER via the JVM builtin (Levenshtein-fast semantics, F1)."""
     in_line = F.concat_ws("", F.col("texts"))
     out_line = F.concat_ws("", F.col("out_texts"))
     return out.withColumn(
@@ -209,6 +214,105 @@ def correct_lines(
             F.greatest(F.length(in_line), F.length(out_line)).cast("double"),
         ),
     )
+
+
+def make_correct_lines_stateful_udf(correct_docs, flush_docs: int = 64):
+    """Doc-sequential correction UDF for stateful models. Input rows
+    arrive doc-contiguous and line-ordered (the operator repartitions by
+    doc_id and sorts within partitions); the UDF streams Arrow batches,
+    holding back each batch's trailing (possibly incomplete) document so
+    documents straddling a batch boundary stay whole, and hands
+    ``flush_docs`` complete documents at a time to ``correct_docs`` —
+    which runs all their lines in lockstep rounds, state carried within
+    each doc only."""
+
+    def correct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: pd.DataFrame | None = None
+
+        def process(df: pd.DataFrame) -> pd.DataFrame:
+            # group doc-contiguous rows; decode non-empty lines per doc
+            doc_rows: list[list[int]] = []
+            doc_ids: list[str] = []
+            for i in range(len(df)):
+                d = df["doc_id"].iloc[i]
+                if not doc_ids or d != doc_ids[-1]:
+                    doc_ids.append(d)
+                    doc_rows.append([])
+                doc_rows[-1].append(i)
+            in_lines = df["texts"].map(lambda ts: "".join(ts))
+            doc_lines, doc_line_rows = [], []
+            for rows in doc_rows:
+                nz = [i for i in rows if in_lines.iloc[i] != ""]
+                doc_lines.append([in_lines.iloc[i] for i in nz])
+                doc_line_rows.append(nz)
+            outs, probs, paths = correct_docs(doc_lines)
+            rows_out = [None] * len(df)
+            rows_conf = [None] * len(df)
+            for rows, nz, d_outs, d_probs, d_paths in zip(
+                doc_rows, doc_line_rows, outs, probs, paths
+            ):
+                by_row = dict(zip(nz, range(len(nz))))
+                for i in rows:
+                    texts = list(df["texts"].iloc[i])
+                    kinds = list(df["kinds"].iloc[i])
+                    if i not in by_row:  # media-only / empty line
+                        rows_out[i] = texts
+                        rows_conf[i] = [1.0] * len(texts)
+                        continue
+                    j = by_row[i]
+                    is_ws = [k in WS_KINDS for k in kinds]
+                    locked = [k not in TEXT_KINDS for k in kinds]
+                    new_texts, new_confs = segment_output(
+                        texts, is_ws, d_outs[j], d_probs[j],
+                        path=d_paths[j], locked=locked,
+                    )
+                    rows_out[i] = new_texts
+                    rows_conf[i] = new_confs
+            df = df.assign(
+                out_texts=rows_out, out_confs=rows_conf,
+                line_cer=[None] * len(df),
+            )
+            return df[[f.name for f in CORRECTED_LINE_SCHEMA.fields]]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            df = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            last_doc = df["doc_id"].iloc[-1]
+            head = df[df["doc_id"] != last_doc]
+            buf = df[df["doc_id"] == last_doc].reset_index(drop=True)
+            while len(head):
+                uniq = head["doc_id"].drop_duplicates()
+                take = set(uniq.iloc[:flush_docs])
+                part = head[head["doc_id"].isin(take)]
+                head = head[~head["doc_id"].isin(take)]
+                yield process(part.reset_index(drop=True))
+        if buf is not None and len(buf):
+            yield process(buf)
+
+    return correct
+
+
+def correct_lines_stateful(
+    lines: DataFrame,
+    correct_docs,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Stateful-model analogue of :func:`correct_lines`: state transfer
+    across a document's lines requires doc-contiguous, line-ordered
+    input, so lines repartition by doc_id (not the salted line key) and
+    sort within partitions. Skew bound: one document is the atomic unit
+    — docs are bounded (SURVEY §7.3), and the UDF still vectorizes
+    across the many documents of a partition."""
+    if n_partitions is None:
+        n_partitions = lines.sparkSession.sparkContext.defaultParallelism * 2
+    lines = lines.repartition(n_partitions, "doc_id").sortWithinPartitions(
+        "doc_id", "line_no"
+    )
+    out = lines.mapInPandas(
+        make_correct_lines_stateful_udf(correct_docs), schema=CORRECTED_LINE_SCHEMA
+    )
+    return _line_cer_col(out)
 
 
 def reassemble(corrected: DataFrame) -> DataFrame:
@@ -255,8 +359,14 @@ def correct_pipeline(
     bucket_filter: list[int] | None = None,
     conf_df: DataFrame | None = None,
     confmat_df: DataFrame | None = None,
+    stateful_correct_docs=None,
 ) -> DataFrame:
     """End-to-end: spans table in → corrected spans table out.
+
+    ``stateful_correct_docs`` (from
+    ``model.corrector.make_stateful_doc_corrector``) switches the
+    correction stage to the doc-sequential stateful path
+    (:func:`correct_lines_stateful`).
 
     ``n_buckets``/``bucket_filter`` expose the checkpoint grain: when set,
     only documents whose salt bucket is in the filter are processed
@@ -283,7 +393,10 @@ def correct_pipeline(
             ["doc_id", "line_no"],
             "left",
         )
-    corrected = correct_lines(lines, corrector)
+    if stateful_correct_docs is not None:
+        corrected = correct_lines_stateful(lines, stateful_correct_docs)
+    else:
+        corrected = correct_lines(lines, corrector)
     return reassemble(corrected)
 
 
