@@ -10,6 +10,11 @@ line: {"metric", "value" (total sec), "unit": "sec",
 local[N] on identical input and reports throughput at both + the
 efficiency (T_N4_throughput / T_N_throughput) — the sandbox evidence
 for the north rule's two-cluster-size criterion (see BENCH/BASELINE.md).
+
+--scaling-cluster: same protocol on local-cluster[E,4,3072] at E=2 vs
+E=8 EXECUTORS — real separate executor JVMs with their own Python
+workers, broadcast over the wire, shuffle across process boundaries:
+the closest in-sandbox analogue of the rule's "N and 4N executors".
 """
 
 from __future__ import annotations
@@ -60,10 +65,29 @@ def make_scaling_corrector(spark):
 def main() -> None:
     if "--scaling-worker" in sys.argv:
         # subprocess entry: run the flagship once at the given cpu count
+        # (or executor count when --cluster: E executors × 4 cores each)
         cpus = int(sys.argv[sys.argv.index("--scaling-worker") + 1])
         from cor_asv_ann_spark.session import build_session
 
-        spark = build_session(app=f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+        if "--cluster" in sys.argv:
+            spark = build_session(
+                app=f"bench-scale-cluster-{cpus}",
+                master=f"local-cluster[{cpus},4,3072]",
+                shuffle_partitions=cpus * 4,
+            )
+            # executors are real separate JVMs: ship the engine to their
+            # Python workers as the --py-files artifact (tools/package.py)
+            import tempfile
+
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+            import package as _pkg
+
+            zip_path = os.path.join(tempfile.mkdtemp(), "cor_asv_ann_spark.zip")
+            _pkg.build(zip_path)
+            spark.sparkContext.addPyFile(zip_path)
+        else:
+            spark = build_session(
+                app=f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
         # scaling measurement: model-backed correction (numpy LSTM decode,
         # hundreds of core-seconds at sf0.1) so parallel compute dominates
         # fixed per-stage overhead; a warmup pass excludes JVM/py4j/Python-
@@ -201,6 +225,29 @@ def main() -> None:
             f"local[{lo}]_docs_per_sec": round(thr_lo, 1),
             f"local[{hi}]_docs_per_sec": round(thr_hi, 1),
             "cores_ratio": hi / lo,
+            "efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
+        }
+
+    if "--scaling-cluster" in sys.argv:
+        # N vs 4N EXECUTORS: real multi-JVM executors (local-cluster),
+        # 4 cores each — broadcast/shuffle cross process boundaries
+        scale = {}
+        for n_exec in (2, 8):
+            p = subprocess.run(
+                [sys.executable, __file__, "--scaling-worker", str(n_exec), "--cluster"],
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+            scale[n_exec] = json.loads(line)
+        lo, hi = sorted(scale)
+        thr_lo = scale[lo]["n_docs"] / scale[lo]["wall_sec"]
+        thr_hi = scale[hi]["n_docs"] / scale[hi]["wall_sec"]
+        result["scaling_cluster"] = {
+            f"executors[{lo}x4]_docs_per_sec": round(thr_lo, 1),
+            f"executors[{hi}x4]_docs_per_sec": round(thr_hi, 1),
+            "executors_ratio": hi / lo,
             "efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
         }
 

@@ -22,7 +22,12 @@ def build_session(
     shuffle_partitions: int | None = None,
     arrow_batch: int = 256,
     extra: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cpus]`` — e.g.
+    ``local-cluster[4,4,3072]`` for real separate executor JVMs (used by
+    ``bench.py --scaling-cluster`` as the closest sandbox analogue of
+    the north rule's N- vs 4N-executor cluster runs)."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
     # one BLAS thread per Python worker: the numpy inference GEMMs are
@@ -31,7 +36,7 @@ def build_session(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
