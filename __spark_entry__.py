@@ -923,8 +923,10 @@ def q_correct_h5_model(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicates via multi-band hyperplane LSH
-    (float-boundary bucket bits → rows-only)."""
+    """Embedding-cosine near-duplicates via multi-band hyperplane LSH,
+    portable (md5-derived) planes: the DuckDB oracle replays the WHOLE
+    pipeline — plane values, sign bits, band codes, bucket cap,
+    candidate join, exact-cosine verify."""
     from cor_asv_ann_spark.operators.dedup import embedding_near_dups
 
     # the fixture embeddings are near-orthogonal random unit vectors
@@ -937,13 +939,15 @@ def q_embedding_near_dups(spark, sf_dir):
     obs = Observation()
     OBSERVATIONS["embedding_near_dups"] = obs
     return embedding_near_dups(
-        e, threshold=0.25, n_bands=8, n_bits=2, max_bucket=1000, observation=obs
+        e, threshold=0.25, n_bands=8, n_bits=2, max_bucket=1000,
+        observation=obs, portable=True,
     ).orderBy("id_a", "id_b")
 
 
 def q_knn_ann_lsh(spark, sf_dir):
-    """Approximate ANN via multi-band hyperplane LSH (approximate →
-    rows-only)."""
+    """Approximate ANN via multi-band hyperplane LSH, portable planes
+    (oracle replays plane→code→bucket→verify; cosine column dropped —
+    rank is the contract, as in knn_cosine)."""
     from pyspark.sql import Observation
 
     from cor_asv_ann_spark.operators.similarity import lsh_topk
@@ -952,9 +956,14 @@ def q_knn_ann_lsh(spark, sf_dir):
     q = e.filter(F.col("vec_id") < 10)
     obs = Observation()
     OBSERVATIONS["knn_ann_lsh"] = obs
-    return lsh_topk(
-        e, q, k=5, n_bands=8, n_bits=2, max_bucket=1000, observation=obs
-    ).orderBy("query_id", "rank")
+    return (
+        lsh_topk(
+            e, q, k=5, n_bands=8, n_bits=2, max_bucket=1000,
+            observation=obs, portable=True,
+        )
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1223,6 +1232,90 @@ def oracle_sql() -> dict[str, str]:
               FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
             SELECT query_id, neighbor_id, rank FROM scored
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # portable hyperplane LSH (md5-derived plane values, identical in
+        # both engines): plane p = band*2 + bit, value = md5 uint32 scaled
+        # to [-0.5, 0.5); code = sum of sign bits << bit; corpus buckets
+        # capped at 1000 per (band, code) before the candidate join
+        "knn_ann_lsh": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            elems AS (SELECT vec_id, unnest(v) AS x,
+                             generate_subscripts(v, 1) - 1 AS j FROM e),
+            planes AS (
+              SELECT band, bit, j,
+                     CAST(('0x' || substr(md5('42:' || CAST(band*2+bit AS VARCHAR)
+                           || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 - 0.5 AS w
+              FROM range(8) t1(band), range(2) t2(bit),
+                   (SELECT DISTINCT j FROM elems) t3),
+            proj AS (
+              SELECT el.vec_id, p.band, p.bit, sum(el.x * p.w) AS s
+              FROM elems el JOIN planes p USING (j)
+              GROUP BY el.vec_id, p.band, p.bit),
+            codes AS (
+              SELECT vec_id, band,
+                     sum(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS code
+              FROM proj GROUP BY vec_id, band),
+            capped AS (
+              SELECT vec_id, band, code FROM (
+                SELECT c.*, count(*) OVER (PARTITION BY band, code) AS bsz
+                FROM codes c)
+              WHERE bsz <= 1000),
+            qcodes AS (SELECT vec_id AS query_id, band, code
+                       FROM codes WHERE vec_id < 10),
+            cand AS (
+              SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+              FROM capped c JOIN qcodes q USING (band, code)
+              WHERE c.vec_id <> q.query_id),
+            scored AS (
+              SELECT cand.query_id, cand.neighbor_id,
+                     row_number() OVER (PARTITION BY cand.query_id
+                       ORDER BY list_inner_product(qe.v, ne.v) DESC,
+                                cand.neighbor_id ASC) AS rank
+              FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                        JOIN e ne ON ne.vec_id = cand.neighbor_id)
+            SELECT query_id, neighbor_id, rank FROM scored
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            elems AS (SELECT vec_id, unnest(v) AS x,
+                             generate_subscripts(v, 1) - 1 AS j FROM e),
+            planes AS (
+              SELECT band, bit, j,
+                     CAST(('0x' || substr(md5('42:' || CAST(band*2+bit AS VARCHAR)
+                           || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+                       / 4294967296.0 - 0.5 AS w
+              FROM range(8) t1(band), range(2) t2(bit),
+                   (SELECT DISTINCT j FROM elems) t3),
+            proj AS (
+              SELECT el.vec_id, p.band, p.bit, sum(el.x * p.w) AS s
+              FROM elems el JOIN planes p USING (j)
+              GROUP BY el.vec_id, p.band, p.bit),
+            codes AS (
+              SELECT vec_id, band,
+                     sum(CASE WHEN s > 0 THEN (1 << bit) ELSE 0 END) AS code
+              FROM proj GROUP BY vec_id, band),
+            capped AS (
+              SELECT vec_id, band, code FROM (
+                SELECT c.*, count(*) OVER (PARTITION BY band, code) AS bsz
+                FROM codes c)
+              WHERE bsz <= 1000),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM capped a JOIN capped b USING (band, code)
+              WHERE a.vec_id < b.vec_id),
+            verified AS (
+              SELECT cand.id_a, cand.id_b,
+                     round(list_inner_product(ea.v, eb.v), 6) AS cosine
+              FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+                        JOIN e eb ON eb.vec_id = cand.id_b)
+            SELECT id_a, id_b, cosine FROM verified
+            WHERE cosine >= 0.25 ORDER BY id_a, id_b
         """,
         "token_count": """
             SELECT lang,

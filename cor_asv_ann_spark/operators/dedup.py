@@ -308,6 +308,7 @@ def embedding_near_dups(
     max_bucket: int | None = 1000,
     seed: int = 42,
     observation=None,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup via multi-band hyperplane LSH: k
     independent band tables (seeded Gaussian planes, vectorized numpy
@@ -328,8 +329,10 @@ def embedding_near_dups(
     if n_bits is None:
         n_bits = auto_n_bits(emb.count(), max_bucket or 1000)
     # observation on ONE self-join side only (see lsh_candidates)
-    bb = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket, observation)
-    bb_b = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket, None)
+    bb = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket,
+                observation, portable)
+    bb_b = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket,
+                  None, portable)
     a, b = bb.alias("a"), bb_b.alias("b")
     cand = (
         a.join(

@@ -85,16 +85,41 @@ def _planes(seed: int, dims: int, n_planes: int) -> np.ndarray:
     return _PLANE_CACHE[key]
 
 
-def band_codes_udf(n_bands: int, n_bits: int, seed: int = 42):
+def _planes_portable(seed: int, dims: int, n_planes: int) -> np.ndarray:
+    """Engine-portable hyperplanes: value[p, j] derives from
+    md5(f"{seed}:{p}:{j}") (first 8 hex chars as uint32, scaled to
+    [-0.5, 0.5)) — the same md5 trick the portable minhash/simhash
+    hashes use, so a DuckDB oracle can replay the ENTIRE LSH pipeline
+    (plane values → sign bits → band codes → bucket join). A symmetric
+    uniform distribution is a valid random projection for sign-LSH
+    (only the sign of the dot product is consumed); Gaussian planes
+    stay the production default."""
+    import hashlib
+
+    key = ("portable", seed, dims, n_planes)
+    if key not in _PLANE_CACHE:
+        vals = np.empty((n_planes, dims), dtype=np.float64)
+        for p in range(n_planes):
+            for j in range(dims):
+                h = hashlib.md5(f"{seed}:{p}:{j}".encode()).hexdigest()[:8]
+                vals[p, j] = int(h, 16) / 2.0**32 - 0.5
+        _PLANE_CACHE[key] = vals
+    return _PLANE_CACHE[key]
+
+
+def band_codes_udf(n_bands: int, n_bits: int, seed: int = 42, portable: bool = False):
     """pandas UDF: embedding → array<long> of ``n_bands`` bucket codes,
-    each code packing ``n_bits`` sign bits of Gaussian projections."""
+    each code packing ``n_bits`` sign bits of hyperplane projections
+    (plane index = band·n_bits + bit). ``portable=True`` switches to the
+    md5-derived planes a SQL oracle can reproduce."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def codes(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
         mat = np.stack(v.to_numpy()).astype(np.float64)
-        planes = _planes(seed, mat.shape[1], n_bands * n_bits)
+        mk = _planes_portable if portable else _planes
+        planes = mk(seed, mat.shape[1], n_bands * n_bits)
         bits = (mat @ planes.T) > 0  # (batch, n_bands*n_bits)
         weights = 1 << np.arange(n_bits, dtype=np.int64)
         packed = bits.reshape(len(mat), n_bands, n_bits) @ weights
@@ -112,13 +137,14 @@ def banded(
     seed: int = 42,
     max_bucket: int | None = None,
     observation=None,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, code) rows — one per band table. ``max_bucket`` drops
     degenerate (band, code) buckets: a bucket of k rows would emit
     k·(k−1)/2 self-join pairs, so an uncapped hot bucket is an all-pairs
     join in disguise at 10^9+ vectors. ``observation`` surfaces the drop
     accounting (see ``cap_buckets``)."""
-    codes = band_codes_udf(n_bands, n_bits, seed)
+    codes = band_codes_udf(n_bands, n_bits, seed, portable)
     out = df.select(
         F.col(id_col), F.posexplode(codes(F.col(vec_col))).alias("band", "code")
     )
@@ -191,6 +217,7 @@ def lsh_topk(
     max_bucket: int | None = None,
     seed: int = 42,
     observation=None,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-band hyperplane LSH. Each of the
     ``n_bands`` independent band tables buckets both sides on an
@@ -204,10 +231,11 @@ def lsh_topk(
     than every typical bucket; ``observation`` reports capped drops."""
     if n_bits is None:
         n_bits = auto_n_bits(corpus.count(), max_bucket or 1000)
-    cb = banded(corpus, id_col, vec_col, n_bands, n_bits, seed, max_bucket, observation)
-    qb = banded(queries, id_col, vec_col, n_bands, n_bits, seed).withColumnRenamed(
-        id_col, "query_id"
-    )
+    cb = banded(corpus, id_col, vec_col, n_bands, n_bits, seed, max_bucket,
+                observation, portable)
+    qb = banded(
+        queries, id_col, vec_col, n_bands, n_bits, seed, portable=portable
+    ).withColumnRenamed(id_col, "query_id")
     cand = (
         cb.join(F.broadcast(qb), ["band", "code"])
         .filter(F.col(id_col) != F.col("query_id"))

@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--n-pairs", type=int, default=200)
     ap.add_argument("--patience", type=int, default=25)
+    ap.add_argument("--scheduled-sampling", choices=["linear", "sigmoid", "exponential"],
+                    default=None,
+                    help="mitigates exposure bias: teacher-forced loss can "
+                         "collapse while free-running decode degrades")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -61,6 +65,7 @@ def main() -> None:
     losses = train_local(
         model, train_pairs, epochs=args.epochs, lr=args.lr,
         val_pairs=val_pairs, patience=args.patience,
+        scheduled_sampling=args.scheduled_sampling,
     )
     model.save_npz(args.out)
 
