@@ -903,23 +903,32 @@ def q_correct_confmat(spark, sf_dir):
 def q_correct_h5_model(spark, sf_dir):
     """S7/M2-M6: the flagship pipeline driven by a model loaded from the
     reference's Keras HDF5 save format (pure-Python reader, broadcast
-    weights, Arrow-batched inference) — rows-only (model inference is
-    not SQL-expressible). Limited to 32 docs: seq2seq decode cost, not
-    coverage, dominates here."""
+    weights, Arrow-batched inference). Limited to 32 docs: seq2seq
+    decode cost, not coverage, dominates here. The decoded TEXT is not
+    SQL-expressible, but the query's contract — every input document
+    comes back with its span skeleton intact (correction rewrites text
+    in place, never adds/drops spans) — is: the oracle checks
+    (doc_id, n_spans) against the materialized input table, so a
+    neural-path crash, dropped doc, or skeleton corruption all
+    hash-mismatch."""
     import tempfile
 
     from cor_asv_ann_spark.model.corrector import make_model_corrector
     from cor_asv_ann_spark.model.keras_graph import RefSeq2Seq, write_keras_fixture
     from cor_asv_ann_spark.operators.correction import correct_pipeline
-    from cor_asv_ann_spark.sources.spans import synth_spans
 
     with tempfile.TemporaryDirectory() as td:
         path = f"{td}/fixture.h5"
         write_keras_fixture(path, width=16, depth=2, seed=7)
         model = RefSeq2Seq.load_h5(path)
-    noisy = synth_spans(spark, sf_dir, noisy=True).limit(32)
+    noisy = _read_spans(spark, _mat_spans(spark, sf_dir, noisy=True)).filter(
+        F.col("doc_id").cast("int") < 32
+    )
     out = correct_pipeline(noisy, corrector=make_model_corrector(spark, model))
-    return out.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+    return (
+        out.select("doc_id", F.size("spans").cast("long").alias("n_spans"))
+        .orderBy("doc_id")
+    )
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -1470,6 +1479,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         # --- materialized-fixture / invariant oracles (round 3) ------------
+        # neural h5 decode: text is not SQL-expressible, but the span
+        # skeleton is — every doc returns with its input span count
+        "correct_h5_model": f"""
+            SELECT doc_id, CAST(len(spans) AS BIGINT) AS n_spans
+            FROM read_parquet('{_OSP[("noisy", "word")]}')
+            WHERE CAST(doc_id AS INTEGER) < 32 ORDER BY doc_id
+        """,
         "correct_spans_pipeline": f"""
             WITH {_sql_spans(_OSP[("gt", "word")], "s")}
             SELECT doc_id, kind, text, media_ref, CAST(off AS BIGINT) AS "offset"
