@@ -50,12 +50,17 @@ def run_resumable(
     run_id: str,
     n_buckets: int = 8,
     corrector=None,
+    stateful_correct_docs=None,
 ) -> dict:
     """Correct ``spans_df`` bucket-by-bucket with resume. Returns summary
-    metrics. Output lands under ``out_dir/bucket=<b>/``."""
+    metrics. Output lands under ``out_dir/bucket=<b>/``.
+    ``stateful_correct_docs`` routes the correction stage through the
+    doc-sequential stateful path (state carried across a document's
+    lines — correction.correct_lines_stateful)."""
     from .operators.correction import (
         assemble_lines,
         correct_lines,
+        correct_lines_stateful,
         reassemble,
         salt_bucket,
         spans_with_line_no,
@@ -80,9 +85,12 @@ def run_resumable(
         n_len = F.expr("aggregate(texts, 0, (a, t) -> a + length(t))")
         obs_lines = Observation()
         obs_docs = Observation()
-        lines = correct_lines(
-            assemble_lines(spans_with_line_no(bucketed)), corrector
-        ).observe(
+        line_frame = assemble_lines(spans_with_line_no(bucketed))
+        if stateful_correct_docs is not None:
+            corrected = correct_lines_stateful(line_frame, stateful_correct_docs)
+        else:
+            corrected = correct_lines(line_frame, corrector)
+        lines = corrected.observe(
             obs_lines,
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(n_len).alias("n_chars"),

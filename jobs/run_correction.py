@@ -66,6 +66,15 @@ def main() -> None:
             model = Seq2SeqModel.load_npz(args.model)
         corrector = make_model_corrector(spark, model, beam=args.beam)
 
+    stateful_docs = None
+    if args.model and getattr(model, "stateful", False) and not args.beam:
+        # h5 config stateful=True: route through the doc-sequential path
+        # (decoder state carried across a document's lines)
+        from cor_asv_ann_spark.model.corrector import make_stateful_doc_corrector
+
+        stateful_docs = make_stateful_doc_corrector(spark, model)
+        corrector = None
+
     summary = run_resumable(
         spark,
         spans,
@@ -74,6 +83,7 @@ def main() -> None:
         args.run_id,
         n_buckets=args.buckets,
         corrector=corrector,
+        stateful_correct_docs=stateful_docs,
     )
     lineage = spark.read.parquet(args.lineage)
     from pyspark.sql import functions as F
