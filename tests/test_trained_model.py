@@ -87,3 +87,17 @@ def test_trained_model_through_pipeline(spark, sf_small):
     ).collect()[0]
     assert r.d_noisy > 0
     assert r.d_fixed < r.d_noisy, f"model did not improve: {r.d_fixed} vs {r.d_noisy}"
+
+
+def test_trained_depth2_model_corrects(eval_pairs):
+    """The depth-2 fixture (reference's published topology, trained by
+    tools/train_fixture.py with scheduled sampling) must also beat the
+    noisy baseline through the standard inference path."""
+    d2 = os.path.join(os.path.dirname(__file__), "fixtures", "trained_w64_d2.npz")
+    srcs, tgts = eval_pairs
+    model = Seq2SeqModel.load_npz(d2)
+    assert model.depth == 2
+    base = _cer(srcs, tgts)
+    greedy, _, _ = model.decode_greedy_batch(srcs)
+    cer_g = _cer(greedy, tgts)
+    assert cer_g < base, f"depth-2 greedy {cer_g:.3f} !< noisy {base:.3f}"
