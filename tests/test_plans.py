@@ -138,3 +138,39 @@ def test_filter_pushdown_to_parquet(spark, sf_small):
     assert "ReadSchema" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" not in read_schema
+
+
+def test_stateful_path_single_doc_exchange(spark, sf_small):
+    """The stateful correction stage repartitions by doc_id and sorts
+    WITHIN partitions only: one hash exchange on doc_id, a partition-
+    local sort, and no global sort (a global sort would be a second,
+    range-partitioned exchange — the exact thing the doc-keyed design
+    avoids)."""
+    import re
+
+    from cor_asv_ann_spark.model.corrector import make_stateful_doc_corrector
+    from cor_asv_ann_spark.model.keras_graph import RefSeq2Seq, write_keras_fixture
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        correct_lines_stateful,
+        spans_with_line_no,
+    )
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        write_keras_fixture(f"{td}/m.h5", width=16, depth=1, seed=3, stateful=True)
+        model = RefSeq2Seq.load_h5(f"{td}/m.h5")
+    lines = assemble_lines(
+        spans_with_line_no(synth_spans(spark, sf_small, noisy=True))
+    )
+    out = correct_lines_stateful(lines, make_stateful_doc_corrector(spark, model))
+    plan = formatted_plan(out)
+    # the UDF's input sort must be partition-local: in formatted mode
+    # the Sort node's Arguments line ends "..., <global>, 0"
+    local_sorts = re.findall(r"^Arguments: \[.*ASC.*\], false, 0", plan, re.M)
+    global_sorts = re.findall(r"^Arguments: \[.*ASC.*\], true, 0", plan, re.M)
+    assert local_sorts, plan
+    assert not global_sorts, "stateful path must not global-sort"
+    assert "rangepartitioning" not in plan.lower()
+    # and the exchange feeding the UDF hashes on doc_id alone
+    assert re.search(r"hashpartitioning\(doc_id#\d+, \d+\), REPARTITION_BY_NUM", plan)
