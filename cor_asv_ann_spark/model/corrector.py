@@ -154,7 +154,13 @@ def make_stateful_doc_corrector(spark, model):
 
     Returns ``correct_docs(doc_lines) -> (outs, probs, paths)`` with
     per-document lists, consumed by
-    ``operators.correction.correct_lines_stateful``."""
+    ``operators.correction.correct_lines_stateful``.
+
+    Only meaningful for stateful-TRAINED models: a stateless-trained
+    model decoded this way enters decoder states it never saw in
+    training and degrades hard (measured 6× worse doc edit distance
+    with the trained_w64_d1 fixture). jobs/run_correction auto-routes
+    here only when the h5 config says stateful=True."""
     bc = spark.sparkContext.broadcast(model_state(model))
 
     def _model():

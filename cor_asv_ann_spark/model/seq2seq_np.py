@@ -227,14 +227,81 @@ class Seq2SeqModel:
         X, lens = self.encode_confmat(confmats)
         return self._decode_greedy(X, lens)
 
-    def _decode_greedy(self, X: np.ndarray, lens: np.ndarray):
+    def decode_greedy_docs(self, doc_lines: list[list[str]]):
+        """Stateful greedy decode (same contract as
+        ``RefSeq2Seq.decode_greedy_docs``): each document's lines decode
+        in order with the decoder LSTM (h, c) carried line→line and
+        reset at document boundaries; documents advance in lockstep
+        (round r = every document's r-th line in ONE batched pass). For
+        this graph the decoder starts from zero state anyway, so line 1
+        matches the stateless batch path exactly."""
+        n_docs = len(doc_lines)
+        outs = [[] for _ in range(n_docs)]
+        probs = [[] for _ in range(n_docs)]
+        aligns = [[] for _ in range(n_docs)]
+        carried: list[list | None] = [None] * n_docs
+        r = 0
+        while True:
+            lanes = [d for d in range(n_docs) if r < len(doc_lines[d])]
+            if not lanes:
+                break
+            texts = [doc_lines[d][r] for d in lanes]
+            X, lens = self.encode_onehot(texts)
+            if X.shape[1] == 0:
+                # batch of empty lines: emit EOS; states pass through
+                # (zero state if nothing decoded yet — the decoder's own
+                # start state)
+                for d in lanes:
+                    outs[d].append(EOS)
+                    probs[d].append([1.0])
+                    aligns[d].append(np.ones((1, 1), dtype=np.float32))
+                    if carried[d] is None:
+                        carried[d] = [
+                            (np.zeros(self.width, np.float32),
+                             np.zeros(self.width, np.float32))
+                            for _ in self.dec_stack
+                        ]
+                r += 1
+                continue
+            init = None
+            if r > 0:
+                init = [
+                    (
+                        np.stack([carried[d][n][0] for d in lanes]),
+                        np.stack([carried[d][n][1] for d in lanes]),
+                    )
+                    for n in range(self.depth)
+                ]
+            o, p, a, fin = self._decode_greedy(
+                X, lens, init_dec_states=init, return_states=True)
+            for i, d in enumerate(lanes):
+                outs[d].append(o[i])
+                probs[d].append(p[i])
+                aligns[d].append(a[i])
+                carried[d] = [(fin[n][0][i], fin[n][1][i]) for n in range(self.depth)]
+            r += 1
+        return outs, probs, aligns
+
+    def _decode_greedy(
+        self,
+        X: np.ndarray,
+        lens: np.ndarray,
+        init_dec_states: list | None = None,
+        return_states: bool = False,
+    ):
         B, L, V = X.shape
         enc = self.encode(X)
         enc_proj = enc @ self.att_We
         mask = np.arange(L)[None, :] < lens[:, None]
 
-        h = [np.zeros((B, self.width), dtype=np.float32) for _ in self.dec_stack]
-        c = [np.zeros((B, self.width), dtype=np.float32) for _ in self.dec_stack]
+        if init_dec_states is not None:
+            h = [s[0].astype(np.float32).copy() for s in init_dec_states]
+            c = [s[1].astype(np.float32).copy() for s in init_dec_states]
+        else:
+            h = [np.zeros((B, self.width), dtype=np.float32) for _ in self.dec_stack]
+            c = [np.zeros((B, self.width), dtype=np.float32) for _ in self.dec_stack]
+        fin_h = [s.copy() for s in h]
+        fin_c = [s.copy() for s in c]
         feed = np.zeros((B, V), dtype=np.float32)  # start symbol = zero vector
         done = np.zeros(B, dtype=bool)
         center = np.zeros(B, dtype=np.int64)
@@ -262,12 +329,22 @@ class Seq2SeqModel:
             rec_idx[step, active] = nxt[active]
             rec_prob[step, active] = p[rows, nxt][active]
             rec_attn[step, active, :] = a[active, :]
-            done |= active & (nxt == eos_idx)
+            just_done = active & (nxt == eos_idx)
+            if return_states and just_done.any():
+                # freeze each line's carry-state at its own EOS step
+                for d in range(self.depth):
+                    fin_h[d][just_done] = h[d][just_done]
+                    fin_c[d][just_done] = c[d][just_done]
+            done |= just_done
             n_steps = step + 1
             center = np.minimum(a.argmax(axis=1) + 1, np.maximum(lens - 1, 0))
             feed = p  # softmax feedback
             if done.all():
                 break
+        if return_states and not done.all():
+            for d in range(self.depth):
+                fin_h[d][~done] = h[d][~done]
+                fin_c[d][~done] = c[d][~done]
         idx_to_char = {i: ch for ch, i in self.vocab.items()}
         outs, probs, aligns = [], [], []
         for b in range(B):
@@ -284,6 +361,8 @@ class Seq2SeqModel:
             outs.append("".join(chars))
             probs.append(pr)
             aligns.append(al)
+        if return_states:
+            return outs, probs, aligns, list(zip(fin_h, fin_c))
         return outs, probs, aligns
 
     # --- beam decode (M4, full reference semantics) ----------------------------

@@ -138,3 +138,31 @@ def test_stateful_decode_used_not_stateless(spark, stateful_model):
         and np.allclose(p_onedoc[0][1], p_twodocs[1][0])
     )
     assert not same
+
+
+def test_npz_model_stateful_docs_api():
+    """API symmetry: models trained by our own loop (npz) also decode
+    doc-sequentially — first lines match the stateless batch path,
+    carried state changes later lines, documents are isolated."""
+    import os
+
+    from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel
+
+    m = Seq2SeqModel.load_npz(
+        os.path.join(os.path.dirname(__file__), "fixtures", "trained_w64_d1.npz")
+    )
+    line = "the faſt caſe\n"
+    outs, probs, aligns = m.decode_greedy_docs([[line, line], [line]])
+    stateless, sprobs, _ = m.decode_greedy_batch([line])
+    assert outs[0][0] == stateless[0] == outs[1][0]
+    assert np.allclose(probs[0][0], sprobs[0])
+    # trained weights: line 2's carried-state decode differs numerically
+    same = (
+        outs[0][1] == outs[0][0]
+        and len(probs[0][1]) == len(probs[0][0])
+        and np.allclose(probs[0][1], probs[0][0])
+    )
+    assert not same, "carried state had no effect"
+    # empty line passes through and state survives the gap
+    o2, _, _ = m.decode_greedy_docs([[line, "", line]])
+    assert o2[0][1] == "\n" and o2[0][2].endswith("\n")
