@@ -957,6 +957,55 @@ def q_embedding_near_dups(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _mat_centroids(spark, sf_dir: str, n_cells: int = 16):
+    """Deterministic IVF centroids, materialized once per sf so the
+    DuckDB oracle can replay assignment/probe/verify from the same
+    parquet (the _mat_spans trick applied to the coarse quantizer)."""
+    import os
+
+    from cor_asv_ann_spark.operators.similarity import kmeans_centroids
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"ivf_{base}_{n_cells}"
+    path = f"{_ORACLE_DIR}/{tag}"
+    C = kmeans_centroids(_emb(spark, sf_dir), n_cells)
+    if tag not in _MATERIALIZED:
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        _MATERIALIZED.add(tag)
+    return C
+
+
+def q_knn_ivf(spark, sf_dir):
+    """IVF ANN: spherical-k-means coarse quantizer (driver-trained on a
+    deterministic sample, broadcast) → one inverted list per corpus
+    vector → queries probe their 4 nearest of 16 cells → exact-cosine
+    verify + top-k. The oracle replays the whole pipeline from the
+    materialized centroids parquet."""
+    from pyspark.sql import Observation
+
+    from cor_asv_ann_spark.operators.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 10)
+    C = _mat_centroids(spark, sf_dir, 16)
+    obs = Observation()
+    OBSERVATIONS["knn_ivf"] = obs
+    return (
+        ivf_topk(
+            e, q, k=5, n_cells=16, n_probe=4, centroids=C,
+            max_cell=1000, observation=obs,
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"), "cosine",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_knn_ann_lsh(spark, sf_dir):
     """Approximate ANN via multi-band hyperplane LSH, portable planes
     (oracle replays plane→code→bucket→verify; cosine column dropped —
@@ -1033,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correct_h5_model": q_correct_h5_model,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ann_lsh": q_knn_ann_lsh,
+        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -1290,6 +1340,40 @@ def oracle_sql() -> dict[str, str]:
               FROM cand JOIN e qe ON qe.vec_id = cand.query_id
                         JOIN e ne ON ne.vec_id = cand.neighbor_id)
             SELECT query_id, neighbor_id, rank FROM scored
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        # IVF: assignment/probe/verify replayed from the materialized
+        # centroids (each corpus vector lives in its argmax-dot cell;
+        # queries probe their 4 best cells; ties resolve to lower cell)
+        "knn_ivf": f"""
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            cent AS (SELECT cell,
+                            list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+                     FROM read_parquet('{_ORACLE_DIR}/ivf_sf0.01_16/*.parquet')),
+            sims AS (SELECT e.vec_id, cent.cell,
+                            list_inner_product(e.v, cent.c) AS d
+                     FROM e, cent),
+            ranked AS (SELECT vec_id, cell,
+                              row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d DESC, cell ASC) AS rn
+                       FROM sims),
+            assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cell FROM ranked
+                       WHERE rn <= 4 AND vec_id < 10),
+            cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                     FROM assign a JOIN probes p USING (cell)
+                     WHERE a.vec_id <> p.query_id),
+            scored AS (SELECT cand.query_id, cand.neighbor_id,
+                              round(list_inner_product(qe.v, ne.v), 6) AS cosine
+                       FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                                 JOIN e ne ON ne.vec_id = cand.neighbor_id),
+            topk AS (SELECT query_id, neighbor_id, cosine,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                     FROM scored)
+            SELECT query_id, neighbor_id, rank, cosine FROM topk
             WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "embedding_near_dups": """

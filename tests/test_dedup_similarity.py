@@ -227,3 +227,34 @@ def test_auto_n_bits_scales_with_corpus():
     assert auto_n_bits(1000, 1000) == 1
     # monotone in corpus size
     assert auto_n_bits(10**12, 1000) > auto_n_bits(10**9, 1000)
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_small):
+    """IVF (k-means coarse quantizer + 4-of-16 probe lists) must
+    recover most of the exact top-k and be bitwise deterministic
+    (fixed sample order + float64 quantizer ⇒ identical centroids and
+    cells run-to-run — the property its SQL oracle depends on)."""
+    from cor_asv_ann_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    C1 = kmeans_centroids(emb, 16)
+    C2 = kmeans_centroids(emb, 16)
+    import numpy as np
+
+    assert np.array_equal(C1, C2)
+    bf = brute_force_topk(emb, q, k=3).collect()
+    ivf = ivf_topk(emb, q, k=3, n_cells=16, n_probe=4, centroids=C1).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    # near-orthogonal fixture = worst case for IVF (cells carry little
+    # signal); probing 1/4 of the cells still must beat 1/4-scan chance
+    assert recall >= 0.5, f"IVF recall {recall:.3f}"
+    # candidate plan: equi-join on cell, probes broadcast, no cartesian
+    from cor_asv_ann_spark.plans import formatted_plan
+
+    plan = formatted_plan(ivf_topk(emb, q, k=3, n_cells=16, n_probe=4, centroids=C1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
