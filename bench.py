@@ -132,6 +132,7 @@ def main() -> None:
         "dedup_simhash",
         "embedding_near_dups",
         "knn_ann_lsh",
+        "knn_ivf",
         "char_lm_counts",
         "strip_boilerplate",
         "html_extract",
