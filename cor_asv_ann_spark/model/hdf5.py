@@ -489,7 +489,11 @@ class _Writer:
         resizable shapes. The fixture writer exercises BOTH paths so the
         reader is tested against real-file structure, not just its own
         simplest output."""
-        arr = np.ascontiguousarray(arr)
+        # NB: np.ascontiguousarray promotes 0-d to 1-d; preserve scalar
+        # dataspaces (h5py writes true ndims=0 for scalar datasets)
+        arr = np.asarray(arr)
+        if arr.ndim and not arr.flags["C_CONTIGUOUS"]:
+            arr = np.ascontiguousarray(arr)
         if arr.dtype.kind == "b":
             arr = arr.astype(np.int8)
         if arr.dtype.kind == "U":

@@ -186,17 +186,27 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     iters: int = 10,
     sample: int = 4096,
+    seed: int = 17,
 ) -> np.ndarray:
     """Deterministic spherical k-means coarse quantizer for IVF: train
-    on a deterministic sample (first ``sample`` rows by id — at corpus
+    on a seeded HASH-ordered sample of ``sample`` rows — at corpus
     scale you train the quantizer on a bounded sample regardless, so
-    the driver-side numpy loop is NOT a scale problem), init from the
-    first k vectors, assign by max dot (unit-norm ⇒ cosine), renormalize
-    means each iteration. Bitwise-reproducible: fixed sample order,
-    fixed float64 ops — which is what lets the SQL oracle replay the
-    assignment stage from the materialized centroids."""
+    the driver-side numpy loop is NOT a scale problem. Hash ordering
+    (xxhash64(id, seed)) makes the sample representative of the whole
+    corpus rather than of whatever the ingest order put first (one
+    crawl segment, one language), and id-order-invariant: shuffling the
+    input rows yields bit-identical centroids (pinned by
+    test_dedup_similarity). Spark executes orderBy+limit as a per-
+    partition top-K merge, not a full sort. Init from the first k
+    sampled vectors, assign by max dot (unit-norm ⇒ cosine),
+    renormalize means each iteration. Bitwise-reproducible: fixed
+    sample order, fixed float64 ops — which is what lets the SQL oracle
+    replay the assignment stage from the materialized centroids."""
     rows = (
-        emb.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample)
+        .collect()
     )
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     C = X[:n_cells].copy()

@@ -243,6 +243,14 @@ def test_ivf_topk_recall_and_determinism(spark, sf_small):
     import numpy as np
 
     assert np.array_equal(C1, C2)
+    # id-ORDER-invariance: the quantizer samples by xxhash64(id), not
+    # ingest order, so shuffling (and re-partitioning) the input rows
+    # must yield bit-identical centroids — at 100 TB "first N rows" is
+    # one crawl segment; hash-ordered sampling is what makes the
+    # bounded sample representative
+    shuffled = emb.orderBy(F.desc("vec_id")).repartition(7)
+    C3 = kmeans_centroids(shuffled, 16)
+    assert np.array_equal(C1, C3)
     bf = brute_force_topk(emb, q, k=3).collect()
     ivf = ivf_topk(emb, q, k=3, n_cells=16, n_probe=4, centroids=C1).collect()
     bf_set = {(r.query_id, r.neighbor_id) for r in bf}

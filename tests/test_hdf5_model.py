@@ -437,3 +437,4 @@ def test_stateful_model_loads_and_carries_state(tmp_path):
     assert r_outs[1][0] == stateless[0]
     for al, src in zip(r_aligns[0], [line, "ab\n", "xyz\n"]):
         assert al.shape[1] == len(src)
+
