@@ -77,11 +77,9 @@ def _stack_counts(params: dict) -> tuple[int, int]:
     return n_enc, n_dec
 
 
-def vectorize_pairs(model: Seq2SeqModel, sources: list[str], targets: list[str]):
-    """Teacher-forcing tensors (seq2seq.py vectorize_lines semantics):
-    encoder one-hot X; decoder input = zero start row + target one-hots;
-    decoder output = target one-hots; weight mask 0 on padding."""
-    X, src_lens = model.encode_onehot(sources)
+def vectorize_targets(model: Seq2SeqModel, targets: list[str]):
+    """Decoder-side tensors only: input = zero start row + shifted
+    target one-hots; output = target one-hots; mask 0 on padding."""
     V = model.voc_size
     tl = np.array([len(t) for t in targets], dtype=np.int64)
     Tt = int(tl.max()) if len(tl) else 0
@@ -95,6 +93,15 @@ def vectorize_pairs(model: Seq2SeqModel, sources: list[str], targets: list[str])
             if j + 1 < Tt:
                 Yin[b, j + 1, idx] = 1.0  # shifted: position 0 = start symbol
             Wm[b, j] = 1.0
+    return Yin, Ytgt, Wm
+
+
+def vectorize_pairs(model: Seq2SeqModel, sources: list[str], targets: list[str]):
+    """Teacher-forcing tensors (seq2seq.py vectorize_lines semantics):
+    encoder one-hot X; decoder input = zero start row + target one-hots;
+    decoder output = target one-hots; weight mask 0 on padding."""
+    X, src_lens = model.encode_onehot(sources)
+    Yin, Ytgt, Wm = vectorize_targets(model, targets)
     src_mask = np.arange(X.shape[1])[None, :] < src_lens[:, None] if X.shape[1] else np.zeros((len(sources), 0), bool)
     return X, src_mask, Yin, Ytgt, Wm
 
@@ -164,14 +171,26 @@ def _att_chunk(B: int, Ts: int, W: int, budget: float = 4e7) -> int:
     return max(1, int(budget / max(B * Ts * W, 1)))
 
 
-def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool):
+def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool,
+             lm_weight: float = 0.0):
     """Shared teacher-forced forward pass.
 
     The whole decoder stack runs as full-sequence LSTMs (teacher
     forcing makes every step's input known up front — bit-identical to
     the inference step loop), and attention is computed for all output
     steps at once; this is what makes the graph depth-general without a
-    depth-special-cased step loop."""
+    depth-special-cased step loop.
+
+    ``lm_weight`` > 0 adds the reference's auxiliary LM loss
+    (seq2seq.py:321-387 lm_loss: the same decoder weights run as a
+    plain language model — no encoder conditioning — and a second
+    cross-entropy on the same targets regularizes the decoder to stay
+    a good LM). In this graph the decoder LSTM stack never sees the
+    encoder (zero initial state, encoder enters via attention only),
+    so the LM branch shares Htop verbatim and only the output stage
+    differs: context zeroed before the [h;ctx] projection. Total loss
+    = s2s + lm_weight · lm (the reference's equal-weight combined
+    loss)."""
     E = params["embed"]
     We, Wd, v = params["att_We"], params["att_Wd"], params["att_v"]
     oW, ob = params["out_W"], params["out_b"]
@@ -226,24 +245,39 @@ def _forward(params: dict, X, src_mask, Yin, Ytgt, Wm, need_cache: bool):
     n_valid = max(float(Wt.sum()), 1.0)
     eps = 1e-12
     loss = float(-(np.log((p * Ytgt.astype(dt)).sum(axis=2) + eps) * Wt).sum()) / n_valid
+    zz_lm = p_lm = None
+    if lm_weight:
+        # LM branch: same Htop, zero context into the output projection
+        zz_lm = np.tanh(Htop @ oW[: Htop.shape[2]])
+        logits_lm = zz_lm @ E.T + ob
+        logits_lm = logits_lm - logits_lm.max(axis=2, keepdims=True)
+        pe_lm = np.exp(logits_lm)
+        p_lm = pe_lm / pe_lm.sum(axis=2, keepdims=True)
+        loss_lm = float(
+            -(np.log((p_lm * Ytgt.astype(dt)).sum(axis=2) + eps) * Wt).sum()
+        ) / n_valid
+        loss = loss + lm_weight * loss_lm
     if not need_cache:
         return loss, None
     cache = dict(
         fwd_cache=fwd_cache, bwd_cache=bwd_cache, enc_caches=enc_caches,
         dec_caches=dec_caches, enc_top=enc_top, enc_proj=enc_proj, Htop=Htop,
         q=q, a=a, ctx=ctx, hc=hc, zz=zz, p=p, n_valid=n_valid,
-        n_enc=n_enc, n_dec=n_dec,
+        n_enc=n_enc, n_dec=n_dec, zz_lm=zz_lm, p_lm=p_lm,
     )
     return loss, cache
 
 
-def forward_loss(params: dict, X, src_mask, Yin, Ytgt, Wm) -> float:
+def forward_loss(params: dict, X, src_mask, Yin, Ytgt, Wm,
+                 lm_weight: float = 0.0) -> float:
     """Validation loss: the forward half only."""
-    loss, _ = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=False)
+    loss, _ = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=False,
+                       lm_weight=lm_weight)
     return loss
 
 
-def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
+def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm,
+                     lm_weight: float = 0.0):
     """One teacher-forced pass → (mean loss, gradients dict). All math
     in the dtype of ``params`` (float64 for gradient checks). Works for
     any encoder/decoder stack depth present in ``params``."""
@@ -255,7 +289,8 @@ def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
     half = params["enc_fwd_U"].shape[0]
     B = X.shape[0]
 
-    loss, cc = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=True)
+    loss, cc = _forward(params, X, src_mask, Yin, Ytgt, Wm, need_cache=True,
+                        lm_weight=lm_weight)
     enc_top, enc_proj, Htop, q, a, ctx, hc, zz, p = (
         cc["enc_top"], cc["enc_proj"], cc["Htop"], cc["q"], cc["a"], cc["ctx"],
         cc["hc"], cc["zz"], cc["p"])
@@ -272,6 +307,20 @@ def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
     dhc = dhc_pre @ oW.T
     dHtop = dhc[:, :, :W].copy()
     dctx = dhc[:, :, W:]
+
+    if lm_weight:
+        # LM-branch backward: same output stage with ctx = 0, scaled
+        # by lm_weight; the zero context half contributes no out_W grad
+        zz_lm, p_lm = cc["zz_lm"], cc["p_lm"]
+        dlogits_lm = (
+            lm_weight * (p_lm - Ytgt.astype(dt)) * (Wm.astype(dt) / n_valid)[:, :, None]
+        )
+        grads["out_b"] += dlogits_lm.sum(axis=(0, 1))
+        grads["embed"] += np.einsum("btv,btw->vw", dlogits_lm, zz_lm)
+        dzz_lm = np.einsum("btv,vw->btw", dlogits_lm, E)
+        dhc_pre_lm = dzz_lm * (1.0 - zz_lm * zz_lm)
+        grads["out_W"][:W] += np.einsum("btk,btw->kw", Htop, dhc_pre_lm)
+        dHtop += dhc_pre_lm @ oW[:W].T
 
     da = np.einsum("btw,bsw->bts", dctx, enc_top)
     denc_top = np.einsum("bts,btw->bsw", a, dctx)
@@ -328,6 +377,118 @@ def forward_backward(params: dict, X, src_mask, Yin, Ytgt, Wm):
     grads["enc_bwd_W"] += dWb; grads["enc_bwd_U"] += dUb; grads["enc_bwd_b"] += dbb
     grads["embed"] += np.einsum("btv,btw->vw", X.astype(dt), dX_f + dX_b)
     return loss, grads
+
+
+# --- pure-LM training + shallow/LM weight transfer --------------------------
+# (reference: transfer-dta-lm.py:1-42 copies a pretrained keraslm LM's
+# lstm_N weights into decoder_lstm_N, trimming the context input rows;
+# seq2seq.py:45-55,143-149 consumes them weight-tied. In this graph the
+# decoder input is the tied embedding alone — no context columns to
+# trim — so the transfer is a straight copy of embed + dec stack +
+# output projection.)
+
+
+def lm_forward_backward(params: dict, Yin, Ytgt, Wm, need_grads: bool = True):
+    """Decoder-only LM pass (train a char LM with the decoder weights):
+    dec stack on shifted targets → zero-context output projection →
+    cross-entropy. Returns (mean loss, grads) touching only embed,
+    dec{i}_*, out_W[:W], out_b — encoder/attention grads stay zero so
+    the same Adam/treeAggregate loop drives both modes."""
+    E = params["embed"]
+    oW, ob = params["out_W"], params["out_b"]
+    dt = E.dtype
+    _, n_dec = _stack_counts(params)
+    W = params["att_Wd"].shape[0]
+    B = Yin.shape[0]
+
+    Hd = Yin.astype(dt) @ E
+    dec_caches = []
+    for d in range(n_dec):
+        Hd, _, _, cache = _lstm_forward(
+            Hd, params[f"dec{d}_W"], params[f"dec{d}_U"], params[f"dec{d}_b"])
+        dec_caches.append(cache)
+    Htop = Hd
+    zz = np.tanh(Htop @ oW[:W])
+    logits = zz @ E.T + ob
+    logits = logits - logits.max(axis=2, keepdims=True)
+    pe = np.exp(logits)
+    p = pe / pe.sum(axis=2, keepdims=True)
+    Wt = Wm.astype(dt)
+    n_valid = max(float(Wt.sum()), 1.0)
+    loss = float(-(np.log((p * Ytgt.astype(dt)).sum(axis=2) + 1e-12) * Wt).sum()) / n_valid
+    if not need_grads:
+        return loss, None
+
+    grads = {k: np.zeros_like(pv) for k, pv in params.items()}
+    dlogits = (p - Ytgt.astype(dt)) * (Wt / n_valid)[:, :, None]
+    grads["out_b"] += dlogits.sum(axis=(0, 1))
+    grads["embed"] += np.einsum("btv,btw->vw", dlogits, zz)
+    dzz = np.einsum("btv,vw->btw", dlogits, E)
+    dpre = dzz * (1.0 - zz * zz)
+    grads["out_W"][:W] += np.einsum("btk,btw->kw", Htop, dpre)
+    dH = dpre @ oW[:W].T
+    zero_w = np.zeros((B, W), dtype=dt)
+    for d in range(n_dec - 1, -1, -1):
+        dH, dWd_, dUd_, dbd_ = _lstm_backward(
+            dec_caches[d], dH, zero_w, zero_w,
+            params[f"dec{d}_W"], params[f"dec{d}_U"])
+        grads[f"dec{d}_W"] += dWd_
+        grads[f"dec{d}_U"] += dUd_
+        grads[f"dec{d}_b"] += dbd_
+    grads["embed"] += np.einsum("btv,btw->vw", Yin.astype(dt), dH)
+    return loss, grads
+
+
+LM_TRANSFER_KEYS = ("embed", "out_W", "out_b")
+
+
+def init_from_lm(params: dict, lm_params: dict) -> dict:
+    """Initialize a correction model's decoder from a pretrained LM
+    (the transfer-dta-lm recipe): copies embed, the whole dec stack,
+    and the output projection. Shapes must match (same vocab, width,
+    decoder depth — the reference keeps the LM's mapping too).
+    Returns the mutated ``params`` for chaining."""
+    _, n_dec = _stack_counts(params)
+    _, n_dec_lm = _stack_counts(lm_params)
+    if n_dec != n_dec_lm:
+        raise ValueError(f"decoder depth mismatch: {n_dec} vs LM {n_dec_lm}")
+    keys = list(LM_TRANSFER_KEYS) + [
+        f"dec{d}_{t}" for d in range(n_dec) for t in ("W", "U", "b")
+    ]
+    for k in keys:
+        if params[k].shape != lm_params[k].shape:
+            raise ValueError(
+                f"{k}: shape {params[k].shape} vs LM {lm_params[k].shape} "
+                "(vocab/width must match — the transfer keeps the LM's mapping)"
+            )
+        params[k] = lm_params[k].copy()
+    return params
+
+
+def train_lm_local(
+    model: Seq2SeqModel,
+    texts: list[str],
+    epochs: int = 30,
+    lr: float = 2e-3,
+) -> list[float]:
+    """Fixture-scale pure-LM pretraining (the in-repo stand-in for the
+    reference's external keraslm pretraining): full-batch Adam on the
+    decoder-only LM branch over clean text lines. The result plugs into
+    :func:`init_from_lm` / run_train ``--init-from-lm``. Corpus-scale
+    LM pretraining uses train_distributed(lm_only=True)."""
+    tgts = [t if t.endswith(EOS) else t + EOS for t in texts]
+    params = get_params(model)
+    Yin, Ytgt, Wm = vectorize_targets(model, tgts)
+    opt = Adam(params, lr=lr)
+    losses = []
+    for _ in range(epochs):
+        loss, grads = lm_forward_backward(params, Yin, Ytgt, Wm)
+        params = opt.step(params, grads)
+        losses.append(loss)
+        if math.isnan(loss):
+            break
+    set_params(model, params)
+    return losses
 
 
 # --- scheduled sampling + encoder degradation (reference gen_data) ----------
@@ -534,6 +695,7 @@ def train_local(
     patience: int = 3,
     scheduled_sampling: str | None = None,
     encoder_degradation: bool = False,
+    lm_weight: float = 0.0,
 ) -> list[float]:
     """Full-batch Adam on (source, target) line pairs (EOS appended if
     missing). With ``val_pairs``, early-stops on validation loss
@@ -559,7 +721,7 @@ def train_local(
             t = apply_scheduled_sampling(params, model.vocab, t, sources, e, ratio)
         if encoder_degradation:
             t = (apply_encoder_degradation(t[0], sources, e),) + tuple(t[1:])
-        loss, grads = forward_backward(params, *t)
+        loss, grads = forward_backward(params, *t, lm_weight=lm_weight)
         params = opt.step(params, grads)
         if stopper is not None:
             vloss = forward_loss(params, *val_tensors)
@@ -588,6 +750,8 @@ def train_distributed(
     patience: int = 3,
     scheduled_sampling: str | None = None,
     encoder_degradation: bool = False,
+    lm_weight: float = 0.0,
+    lm_only: bool = False,
 ) -> list[float]:
     """Synchronous data-parallel SGD: per epoch, broadcast the weights,
     compute per-partition (gradient sums, loss sum, count) over row
@@ -608,6 +772,10 @@ def train_distributed(
 
     meta = {"vocab": model.vocab, "width": model.width, "depth": model.depth,
             "window": model.window}
+    if lm_only:
+        # gen_data transforms are encoder-side — meaningless for pure-LM
+        scheduled_sampling = None
+        encoder_degradation = False
     params = get_params(model)
     opt = Adam(params, lr=lr)
     losses = []
@@ -649,15 +817,21 @@ def train_distributed(
                         tensors[0], list(buf_s), epoch),) + tuple(tensors[1:])
                 n_valid = max(float(tensors[4].sum()), 1.0)
                 if backward:
-                    loss, grads = forward_backward(p, *tensors)
+                    if lm_only:
+                        loss, grads = lm_forward_backward(p, *tensors[2:])
+                    else:
+                        loss, grads = forward_backward(
+                            p, *tensors, lm_weight=lm_weight)
                     # convert mean-grads back to sums for correct global mean
                     if acc is None:
                         acc = {k: g * n_valid for k, g in grads.items()}
                     else:
                         for k in acc:
                             acc[k] += grads[k] * n_valid
+                elif lm_only:
+                    loss, _ = lm_forward_backward(p, *tensors[2:], need_grads=False)
                 else:
-                    loss = forward_loss(p, *tensors)
+                    loss = forward_loss(p, *tensors, lm_weight=lm_weight)
                 loss_sum += loss * n_valid
                 n += n_valid
                 buf_s.clear()

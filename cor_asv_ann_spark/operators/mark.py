@@ -48,19 +48,55 @@ def words_from_spans(spans_df: DataFrame) -> DataFrame:
     )
 
 
-def lexicon_from_wordlist(spark, path: str) -> DataFrame:
+def lexicon_from_wordlist(
+    spark, path: str, aff_path: "str | None" = None
+) -> DataFrame:
     """External-dictionary drop-in (the reference marks against hunspell
     dictionaries, wrapper/mark.py:59-69,107-124; hunspell itself is not
     in this container): read a plain wordlist or a hunspell ``.dic`` file
-    — one entry per line, affix flags after ``/`` stripped, the leading
-    entry-count line dropped — into the ``(entry)`` lexicon frame that
-    ``mark_words``/``dehyphenate_recheck`` consume. Any dictionary a user
-    has on disk plugs straight in; ``mark_oov``'s corpus-derived lexicon
-    path is unchanged."""
-    lines = spark.read.text(path).select(F.col("value").alias("raw"))
+    into the ``(entry)`` lexicon frame that ``mark_words``/
+    ``dehyphenate_recheck`` consume.
+
+    Affix flags are EXPANDED, not stripped (hunspell semantics:
+    "Haus/N" also accepts whatever the N suffix rules derive, e.g.
+    Häuser): when an ``.aff`` file is given — or sits next to the
+    ``.dic`` — its SFX/PFX rules are parsed on the driver (tiny file),
+    broadcast, and each entry explodes into its surface forms via an
+    Arrow-batched UDF, so a million-entry dictionary expands
+    distributed. Without an ``.aff``, flags are stripped as before
+    (base forms only). The leading entry-count line is dropped either
+    way; ``mark_oov``'s corpus-derived lexicon path is unchanged."""
+    import os
+
+    if aff_path is None and path.endswith(".dic"):
+        sibling = path[: -len(".dic")] + ".aff"
+        if os.path.exists(sibling):
+            aff_path = sibling
+    lines = (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("raw"))
+        .filter((F.col("raw") != "") & ~F.col("raw").rlike("^[0-9]+$"))
+    )
+    if aff_path is None:
+        return (
+            lines.select(F.regexp_replace("raw", "/.*$", "").alias("entry"))
+            .filter(F.col("entry") != "")
+            .distinct()
+        )
+    from ..corelib.affix import expand_entry, parse_aff
+
+    with open(aff_path, encoding="utf-8", errors="replace") as f:
+        aff = parse_aff(f.read())
+    aff_b = spark.sparkContext.broadcast(aff)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def expand_udf(entries: pd.Series) -> pd.Series:
+        rules = aff_b.value
+        return entries.map(lambda e: expand_entry(e, rules))
+
     return (
-        lines.select(F.trim(F.regexp_replace("raw", "/.*$", "")).alias("entry"))
-        .filter((F.col("entry") != "") & ~F.col("entry").rlike("^[0-9]+$"))
+        lines.select(F.explode(expand_udf(F.col("raw"))).alias("entry"))
+        .filter(F.col("entry") != "")
         .distinct()
     )
 

@@ -6,7 +6,15 @@ train/val split, fit with early stopping).
     python jobs/run_train.py --data pairs.tsv --out model.npz \
         [--width 32] [--depth 2] [--epochs 20] [--lr 2e-3] \
         [--val-split 0.1] [--patience 3] \
-        [--scheduled-sampling linear|sigmoid|exponential] [--degrade]
+        [--scheduled-sampling linear|sigmoid|exponential] [--degrade] \
+        [--lm-loss 0.5] [--init-from-lm lm.npz] [--lm-only]
+
+LM recipe (reference transfer-dta-lm.py + seq2seq lm_loss): first
+``--lm-only`` pretrains a decoder-only char LM on the target column
+(distributed, same treeAggregate loop); then ``--init-from-lm lm.npz``
+starts a correction run from its decoder+embedding (adopting the LM's
+vocab), optionally regularized by ``--lm-loss W`` (the decoder keeps
+training as a plain LM alongside the correction objective).
 
 Distributed synchronous SGD: weights broadcast per epoch, per-partition
 gradient sums, one treeAggregate per epoch (model/train_np.py); with a
@@ -48,6 +56,22 @@ def main() -> None:
         default=10000,
         help="max val lines used for CER (applied before any materialization)",
     )
+    ap.add_argument(
+        "--lm-loss", type=float, default=0.0, metavar="WEIGHT",
+        help="auxiliary LM loss weight (reference seq2seq lm_loss: the "
+             "decoder also trains as a plain LM on the targets)",
+    )
+    ap.add_argument(
+        "--init-from-lm", default=None, metavar="LM_NPZ",
+        help="initialize decoder+embedding from a pretrained LM model "
+             "(the transfer-dta-lm recipe); the LM's vocab/width/depth "
+             "are adopted",
+    )
+    ap.add_argument(
+        "--lm-only", action="store_true",
+        help="train a pure decoder LM on the TARGET column only "
+             "(produces a model for --init-from-lm)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -75,7 +99,28 @@ def main() -> None:
         .collect()
     )
     vocab_chars = {r.ch for r in chars}
-    model = Seq2SeqModel(make_vocab(vocab_chars), width=args.width, depth=args.depth)
+    if args.init_from_lm:
+        # the transfer keeps the LM's mapping (reference transfer-dta-lm):
+        # vocab/width/depth come from the LM; decoder+embedding weights
+        # are copied, encoder/attention stay freshly initialized
+        from cor_asv_ann_spark.model.train_np import (
+            get_params,
+            init_from_lm,
+            set_params,
+        )
+
+        lm = Seq2SeqModel.load_npz(args.init_from_lm)
+        missing = vocab_chars - set(lm.vocab)
+        if missing:
+            raise SystemExit(
+                f"--init-from-lm: {len(missing)} data chars absent from the "
+                f"LM vocab (e.g. {sorted(missing)[:5]}) — retrain the LM "
+                "with a covering charset"
+            )
+        model = Seq2SeqModel(lm.vocab, width=lm.width, depth=lm.depth)
+        set_params(model, init_from_lm(get_params(model), get_params(lm)))
+    else:
+        model = Seq2SeqModel(make_vocab(vocab_chars), width=args.width, depth=args.depth)
 
     train, val = pairs.randomSplit([1 - args.val_split, args.val_split], seed=42)
     train = train.persist()
@@ -117,15 +162,17 @@ def main() -> None:
         bc.unpersist()
         return round(r.d / r.l, 6) if r.l else None
 
-    cer_before = val_cer()
+    cer_before = None if args.lm_only else val_cer()
     losses = train_distributed(
         spark, train, model, epochs=args.epochs, lr=args.lr,
         val_df=val if (n_val and args.patience) else None,
         patience=args.patience or 3,
         scheduled_sampling=args.scheduled_sampling,
         encoder_degradation=args.degrade,
+        lm_weight=args.lm_loss,
+        lm_only=args.lm_only,
     )
-    cer_after = val_cer()
+    cer_after = None if args.lm_only else val_cer()
     model.save_npz(args.out)
     print(
         json.dumps(

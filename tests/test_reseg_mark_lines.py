@@ -190,3 +190,85 @@ def test_mark_with_file_backed_lexicon(spark, tmp_path):
     f1 = {(r.line_no, r.word_idx): r.oov for r in via_file.collect()}
     f2 = {(r.line_no, r.word_idx): r.oov for r in via_df.collect()}
     assert f1 == f2
+
+
+def test_affix_expansion_unit():
+    """corelib.affix: the hunspell SFX/PFX subset — strip+append with
+    conditions, cross-products, flag modes, continuation-flag surface."""
+    from cor_asv_ann_spark.corelib.affix import expand_entry, parse_aff
+
+    aff = parse_aff(
+        "# German-style fixture\n"
+        "SET UTF-8\n"
+        "SFX N Y 2\n"
+        "SFX N aus äuser aus   # Haus -> Häuser\n"
+        "SFX N 0 es [^s]       # Haut -> Hautes (synthetic)\n"
+        "SFX A Y 1\n"
+        "SFX A e en e          # Lampe -> Lampen\n"
+        "PFX U Y 1\n"
+        "PFX U 0 un .          # un- prefix, cross-product\n"
+    )
+    assert expand_entry("Haus/N", aff) == ["Haus", "Häuser"]
+    # condition [^s] rejects words ending in s, accepts Haut
+    assert expand_entry("Haut/N", aff) == ["Haut", "Hautes"]
+    assert expand_entry("Lampe/A", aff) == ["Lampe", "Lampen"]
+    # cross product: PFX applies to base AND to SFX results (both Y)
+    forms = expand_entry("klar/AU", aff)
+    assert forms == ["klar", "unklar"]  # 'klar' fails SFX A's 'e' cond
+    forms2 = expand_entry("fade/AU", aff)
+    assert set(forms2) == {"fade", "faden", "unfaden", "unfade"}
+    # flagless entries and empty lines
+    assert expand_entry("und", aff) == ["und"]
+    assert expand_entry("", aff) == []
+    # FLAG long mode: 2-char flags
+    aff_long = parse_aff("FLAG long\nSFX Aa Y 1\nSFX Aa 0 s .\n")
+    assert expand_entry("tree/Aa", aff_long) == ["tree", "trees"]
+    # FLAG num mode
+    aff_num = parse_aff("FLAG num\nSFX 101 Y 1\nSFX 101 0 s .\n")
+    assert expand_entry("car/101,9", aff_num) == ["car", "cars"]
+    # continuation flags on the appendage: surface form kept, two-fold
+    # flags ignored
+    aff_cont = parse_aff("SFX B Y 1\nSFX B 0 en/XY .\n")
+    assert expand_entry("tief/B", aff_cont) == ["tief", "tiefen"]
+
+
+def test_mark_with_affix_expanded_lexicon(spark, tmp_path):
+    """VERDICT r3 #3: 'Haus/N' + an .aff SFX rule must accept Häuser —
+    the .aff sitting next to the .dic is picked up automatically and
+    inflected forms stop being over-marked OOV."""
+    from cor_asv_ann_spark.operators.mark import (
+        lexicon_from_wordlist,
+        mark_words,
+        words_from_spans,
+    )
+
+    (tmp_path / "de.aff").write_text(
+        "SET UTF-8\nSFX N Y 1\nSFX N aus äuser aus\n", encoding="utf-8"
+    )
+    (tmp_path / "de.dic").write_text("2\nHaus/N\nLicht\n", encoding="utf-8")
+    lex = lexicon_from_wordlist(spark, str(tmp_path / "de.dic"))
+    assert sorted(r.entry for r in lex.collect()) == ["Haus", "Häuser", "Licht"]
+
+    spans = spark.createDataFrame(
+        [
+            (
+                "d1",
+                [
+                    ("word", "Häuser", "xy://0", 0),
+                    ("space", " ", None, 1),
+                    ("word", "Hxus", "xy://2", 2),
+                ],
+            )
+        ],
+        SPANS_SCHEMA,
+    )
+    marked = mark_words(words_from_spans(spans), lex)
+    oov = {r.word: r.oov for r in marked.collect()}
+    assert oov == {"Häuser": False, "Hxus": True}
+
+    # without the .aff (plain flag-strip fallback) Häuser IS over-marked
+    # — the regression the expansion fixes
+    (tmp_path / "solo.dic").write_text("2\nHaus/N\nLicht\n", encoding="utf-8")
+    lex_stripped = lexicon_from_wordlist(spark, str(tmp_path / "solo.dic"))
+    marked2 = mark_words(words_from_spans(spans), lex_stripped)
+    assert {r.word: r.oov for r in marked2.collect()}["Häuser"] is True

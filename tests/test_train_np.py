@@ -281,3 +281,194 @@ def test_attention_chunking_invariant(monkeypatch):
     assert loss_1 == pytest.approx(loss_full, rel=1e-12)
     for k in grads_full:
         assert np.allclose(grads_full[k], grads_1[k], rtol=1e-10, atol=1e-12), k
+
+
+# --- LM loss + LM transfer (reference transfer-dta-lm.py, seq2seq lm_loss) --
+
+
+@pytest.mark.parametrize("lm_weight", [0.7])
+def test_gradcheck_lm_loss(lm_weight):
+    """Finite differences vs analytic BPTT with the auxiliary LM loss
+    enabled (depth 2): the LM branch shares the decoder stack and
+    output projection, so its gradients fold into every decoder-side
+    tensor — and must vanish for the attention/context parameters it
+    bypasses."""
+    _, params, tensors = tiny_setup(depth=2)
+    loss_plain, _ = forward_backward(params, *tensors)
+    loss0, grads = forward_backward(params, *tensors, lm_weight=lm_weight)
+    assert loss0 > loss_plain  # combined loss strictly adds the LM term
+    rng = np.random.default_rng(1)
+    eps = 1e-6
+    for key, p in params.items():
+        flat = p.reshape(-1)
+        gflat = grads[key].reshape(-1)
+        for ix in rng.choice(flat.size, size=min(3, flat.size), replace=False):
+            orig = flat[ix]
+            flat[ix] = orig + eps
+            lp = forward_loss(params, *tensors, lm_weight=lm_weight)
+            flat[ix] = orig - eps
+            lm_ = forward_loss(params, *tensors, lm_weight=lm_weight)
+            flat[ix] = orig
+            num = (lp - lm_) / (2 * eps)
+            ana = gflat[ix]
+            rel = abs(num - ana) / max(abs(num), abs(ana), 1e-8)
+            assert rel < 1e-4 or abs(num - ana) < 1e-8, (
+                f"{key}[{ix}]: numeric {num} vs analytic {ana}"
+            )
+
+
+def test_gradcheck_pure_lm():
+    """lm_forward_backward (decoder-only LM): finite differences over
+    the decoder-side tensors; encoder/attention grads must be exactly
+    zero (the same Adam loop drives both modes on the strength of
+    that)."""
+    from cor_asv_ann_spark.model.train_np import (
+        lm_forward_backward,
+        vectorize_targets,
+    )
+
+    model, params, _ = tiny_setup(depth=2)
+    Yin, Ytgt, Wm = vectorize_targets(model, ["ba\n", "a b\n"])
+    loss0, grads = lm_forward_backward(params, Yin, Ytgt, Wm)
+    assert loss0 > 0
+    touched = {"embed", "out_W", "out_b"} | {
+        f"dec{d}_{t}" for d in range(2) for t in ("W", "U", "b")
+    }
+    for key, g in grads.items():
+        if key not in touched:
+            assert not g.any(), f"{key} must have zero grad in LM mode"
+    W = params["att_Wd"].shape[0]
+    assert not grads["out_W"][W:].any()  # context half never trains
+    rng = np.random.default_rng(2)
+    eps = 1e-6
+    for key in sorted(touched):
+        flat = params[key].reshape(-1)
+        gflat = grads[key].reshape(-1)
+        for ix in rng.choice(flat.size, size=min(3, flat.size), replace=False):
+            orig = flat[ix]
+            flat[ix] = orig + eps
+            lp, _ = lm_forward_backward(params, Yin, Ytgt, Wm, need_grads=False)
+            flat[ix] = orig - eps
+            lm_, _ = lm_forward_backward(params, Yin, Ytgt, Wm, need_grads=False)
+            flat[ix] = orig
+            num = (lp - lm_) / (2 * eps)
+            ana = gflat[ix]
+            rel = abs(num - ana) / max(abs(num), abs(ana), 1e-8)
+            assert rel < 1e-4 or abs(num - ana) < 1e-8, (
+                f"{key}[{ix}]: numeric {num} vs analytic {ana}"
+            )
+
+
+def test_lm_transfer_beats_cold_start():
+    """The transfer-dta-lm recipe end-to-end: pretrain a decoder LM on
+    clean text (train_lm_local), init a correction model from it
+    (init_from_lm), train both it and a cold-start twin for the SAME
+    few epochs — the LM-initialized model must reach a lower val loss
+    (the whole point of the reference's LM transfer)."""
+    from cor_asv_ann_spark.model.train_np import (
+        forward_loss,
+        init_from_lm,
+        set_params,
+        train_lm_local,
+    )
+
+    chars = "abcdeghinrstu \n"
+    clean = [
+        "die strasse\n", "das haus\n", "ein gut\n", "sich sehen\n",
+        "nicht dringen\n", "eine gasse\n", "die tinte\n", "das ding\n",
+        "gut sehen\n", "ein haus\n", "die gasse\n", "das sehen\n",
+    ]
+    # noisy pairs: u<->n confusion (classic OCR), same char domain
+    noise = str.maketrans({"n": "u"})
+    pairs = [(t.translate(noise), t) for t in clean[:8]]
+    val = [(t.translate(noise), t) for t in clean[8:]]
+
+    def make():
+        return Seq2SeqModel(make_vocab(set(chars)), width=12, depth=1, seed=5)
+
+    # pretrain the LM on the clean side
+    lm_model = make()
+    lm_losses = train_lm_local(lm_model, clean, epochs=150, lr=1e-2)
+    assert lm_losses[-1] < lm_losses[0] * 0.5  # the LM itself learned
+
+    def train_and_val(model):
+        train_local(model, pairs, epochs=8, lr=5e-3, patience=0)
+        params = {k: p.astype(np.float64) for k, p in get_params(model).items()}
+        vs = [s for s, _ in val]
+        vt = [t for _, t in val]
+        return forward_loss(params, *vectorize_pairs(model, vs, vt))
+
+    warm = make()
+    set_params(warm, init_from_lm(get_params(warm), get_params(lm_model)))
+    warm_loss = train_and_val(warm)
+    cold_loss = train_and_val(make())
+    assert warm_loss < cold_loss, (warm_loss, cold_loss)
+
+
+def test_init_from_lm_shape_guard():
+    from cor_asv_ann_spark.model.train_np import init_from_lm
+
+    _, p_d1, _ = tiny_setup(depth=1)
+    _, p_d2, _ = tiny_setup(depth=2)
+    with pytest.raises(ValueError, match="depth"):
+        init_from_lm(dict(p_d2), dict(p_d1))
+    _, p_w8, _ = tiny_setup(width=8)
+    with pytest.raises(ValueError, match="shape"):
+        init_from_lm(dict(p_w8), dict(tiny_setup(width=6)[1]))
+
+
+def test_distributed_lm_only_matches_local(spark):
+    """train_distributed(lm_only=True) must walk the same loss curve as
+    train_lm_local on the same data (the distributed loop is a pure
+    re-partitioning of the same full-batch gradient)."""
+    from cor_asv_ann_spark.model.train_np import train_lm_local
+
+    texts = ["ab\n", "ba b\n", "a a\n", "bab\n"]
+    m_local = Seq2SeqModel(make_vocab(set("ab \n")), width=6, depth=1, seed=3)
+    local_losses = train_lm_local(m_local, texts, epochs=3, lr=2e-3)
+    m_dist = Seq2SeqModel(make_vocab(set("ab \n")), width=6, depth=1, seed=3)
+    df = spark.createDataFrame(
+        [(t, t) for t in texts], ["source", "target"]
+    ).repartition(2)
+    dist_losses = train_distributed(
+        spark, df, m_dist, epochs=3, lr=2e-3, lm_only=True, length_bucket=False
+    )
+    assert np.allclose(local_losses, dist_losses, rtol=1e-6)
+    for k, v in get_params(m_local).items():
+        assert np.allclose(v, get_params(m_dist)[k], rtol=1e-6), k
+
+
+def test_run_train_job_lm_transfer_cli(tmp_path):
+    """CLI parity for the reference's LM recipe: --lm-only produces an
+    LM npz from the target column; --init-from-lm consumes it (adopting
+    the LM's vocab) with --lm-loss as the auxiliary regularizer."""
+    import json
+    import subprocess
+    import sys
+
+    pairs = [("hcllo", "hello"), ("cnginc", "engine"), ("qucry", "query")] * 4
+    p = tmp_path / "pairs.tsv"
+    p.write_text("".join(f"{s}\t{t}\n" for s, t in pairs))
+    lm_out = tmp_path / "lm.npz"
+    r = subprocess.run(
+        [sys.executable, "jobs/run_train.py", "--data", str(p), "--out",
+         str(lm_out), "--width", "12", "--epochs", "2", "--cpus", "2",
+         "--lm-only", "--patience", "0"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["val_cer_before"] is None  # no correction eval in LM mode
+    assert lm_out.exists()
+
+    out = tmp_path / "m.npz"
+    r2 = subprocess.run(
+        [sys.executable, "jobs/run_train.py", "--data", str(p), "--out",
+         str(out), "--epochs", "1", "--cpus", "2", "--init-from-lm",
+         str(lm_out), "--lm-loss", "0.5", "--val-cap", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["n_epochs_run"] >= 1
+    assert out.exists()
