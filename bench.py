@@ -6,6 +6,17 @@ line: {"metric", "value" (total sec), "unit": "sec",
 "queries": {name: sec}, "sf", plus informational extras
 (docs_per_sec for the flagship, scaling efficiency when --scaling)}.
 
+CONTENTION-ROBUST PROTOCOL (round 4): this host's throughput swings up
+to 2×/query with co-tenant load, so a single-pass bench cannot
+adjudicate regressions (the r3 driver run landed in a contended window
+and showed uniform ~1.3-2× slowdowns on queries nothing touched). The
+suite therefore runs N_PASSES (default 3) full INTERLEAVED passes —
+pass 1 of every query, then pass 2, then pass 3, so a contention
+window hits one pass of all queries instead of all passes of one query
+— and reports per-query BEST as the timing plus the best/worst spread
+("queries_spread"). `value` is the sum of bests. Override passes with
+$SPARK_GRAFT_BENCH_PASSES=1 for a quick look.
+
 --scaling: re-runs the flagship in two subprocesses at local[N/4] and
 local[N] on identical input and reports throughput at both + the
 efficiency (T_N4_throughput / T_N_throughput) — the sandbox evidence
@@ -30,16 +41,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
 def flagship_docs_per_sec(
-    spark, sf_dir: str, level: str = "word", corrector=None
+    spark, sf_dir: str, level: str = "word", corrector=None, times: int = 1,
+    limit: int | None = None,
 ) -> tuple[float, int]:
     """Correction pipeline end-to-end (synth noisy spans → corrected
-    table), returns (wall_sec, n_docs)."""
+    table), returns (wall_sec, n_docs). ``times`` tiles the corpus with
+    re-keyed copies; ``limit`` bounds it (fixed-cost probes)."""
     from pyspark.sql import functions as F
 
     from cor_asv_ann_spark.operators.correction import correct_pipeline
     from cor_asv_ann_spark.sources.spans import synth_spans
 
-    noisy = synth_spans(spark, sf_dir, noisy=True, level=level)
+    noisy = synth_spans(spark, sf_dir, noisy=True, level=level, times=times)
+    if limit is not None:
+        noisy = noisy.limit(limit)
     out = correct_pipeline(noisy, corrector=corrector)
     t0 = time.time()
     n_docs = out.select(F.count(F.lit(1)).alias("n")).collect()[0].n
@@ -90,15 +105,32 @@ def main() -> None:
                 app=f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
         # scaling measurement: model-backed correction (numpy LSTM decode,
         # hundreds of core-seconds at sf0.1) so parallel compute dominates
-        # fixed per-stage overhead; a warmup pass excludes JVM/py4j/Python-
-        # worker startup; best of 2 measured runs
+        # fixed per-stage overhead. Round-4 protocol (VERDICT r3 #2 —
+        # amortize the fixed cost in-sandbox):
+        #   * the measured corpus is TILED ($SPARK_GRAFT_SCALE_TILES,
+        #     default 3 → 15k docs at sf0.1): per-stage scheduling /
+        #     broadcast / worker-spawn costs are paid once per run but
+        #     amortized over 3× the compute, the r3 10×-corpus result
+        #     (throughput GROWS with scale) applied to the scaling job;
+        #   * a warmup pass (400 docs) excludes JVM/py4j/Python-worker
+        #     startup without burning a full run;
+        #   * a fixed-cost probe (64 docs ≈ zero compute, all barrier/
+        #     scheduling) is measured and reported so the caller can
+        #     also report the startup-SUBTRACTED steady-state
+        #     efficiency next to the raw one;
+        #   * ONE measured run per invocation — the caller interleaves
+        #     invocations (N, 4N, N, 4N) and takes best per side, so
+        #     best-of-2 still holds at half the wall cost.
+        tiles = int(os.environ.get("SPARK_GRAFT_SCALE_TILES", "3"))
         corr = make_scaling_corrector(spark)
-        flagship_docs_per_sec(spark, SF_DIR, corrector=corr)
-        walls = []
-        for _ in range(2):
-            wall, n_docs = flagship_docs_per_sec(spark, SF_DIR, corrector=corr)
-            walls.append(wall)
-        print(json.dumps({"cpus": cpus, "wall_sec": min(walls), "n_docs": n_docs}))
+        flagship_docs_per_sec(spark, SF_DIR, corrector=corr, limit=400)
+        fixed_wall, _ = flagship_docs_per_sec(spark, SF_DIR, corrector=corr, limit=64)
+        wall, n_docs = flagship_docs_per_sec(
+            spark, SF_DIR, corrector=corr, times=tiles)
+        print(json.dumps({
+            "cpus": cpus, "wall_sec": wall, "n_docs": n_docs,
+            "fixed_wall_sec": fixed_wall, "tiles": tiles,
+        }))
         spark.stop()
         return
 
@@ -139,17 +171,7 @@ def main() -> None:
         "layout_reading_order",
         "media_context",
     ]
-    times: dict[str, float] = {}
-
-    # flagship first (headline metric)
-    wall, n_docs = flagship_docs_per_sec(spark, SF_DIR)
-    times["correction_pipeline"] = round(wall, 3)
-    docs_per_sec = n_docs / wall if wall > 0 else None
-
-    # beamed flagship (the reference's opt-in ~10× path, README "up to
-    # ten times less CPU" for greedy): model corrector with cross-line
-    # lockstep beam, measured on a bounded doc subset so the suite stays
-    # minutes, reported as its own docs/s
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     beam_docs = int(os.environ.get("SPARK_GRAFT_BEAM_DOCS", "192"))
     from pyspark.sql import functions as F
 
@@ -160,27 +182,33 @@ def main() -> None:
     beam_corr = make_model_corrector(
         spark, make_scaling_model(), beam=True, beam_width=4
     )
-    noisy_sub = synth_spans(spark, SF_DIR, noisy=True).limit(beam_docs)
-    t0 = time.time()
-    n_beam = (
-        correct_pipeline(noisy_sub, corrector=beam_corr)
-        .select(F.count(F.lit(1)).alias("n"))
-        .collect()[0]
-        .n
-    )
-    beam_wall = time.time() - t0
-    times[f"correction_beam_{beam_docs}"] = round(beam_wall, 3)
-    docs_per_sec_beam = n_beam / beam_wall if beam_wall > 0 else None
+
+    def run_flagship() -> float:
+        wall, n = flagship_docs_per_sec(spark, SF_DIR)
+        run_flagship.n_docs = n
+        return wall
+
+    def run_beam() -> float:
+        noisy_sub = synth_spans(spark, SF_DIR, noisy=True).limit(beam_docs)
+        t0 = time.time()
+        run_beam.n_docs = (
+            correct_pipeline(noisy_sub, corrector=beam_corr)
+            .select(F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+            .n
+        )
+        return time.time() - t0
 
     cap_drops: dict[str, dict] = {}
-    for name in bench_queries:
-        fn = qdefs[name]
+
+    def run_query(name: str) -> float:
         t0 = time.time()
-        df = fn(spark, SF_DIR)
+        df = qdefs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        wall = time.time() - t0
         # no-silent-caps: banded-join queries register an Observation;
-        # log the cap drop rate next to the timing
+        # log the cap drop rate next to the timing (identical pass to
+        # pass — deterministic plans — so last pass wins)
         obs = getattr(entrymod, "OBSERVATIONS", {}).pop(name, None)
         if obs is not None:
             try:
@@ -195,24 +223,99 @@ def main() -> None:
                 }
             except Exception:
                 cap_drops[name] = {"error": "metrics unavailable"}
+        return wall
+
+    # one interleaved schedule: flagship + beam + suite, repeated
+    # N_PASSES times; best per query survives, spread is reported
+    schedule: list[tuple[str, object]] = (
+        [("correction_pipeline", run_flagship), (f"correction_beam_{beam_docs}", run_beam)]
+        + [(name, run_query) for name in bench_queries]
+    )
+    best: dict[str, float] = {}
+    worst: dict[str, float] = {}
+    for _pass in range(n_passes):
+        for name, fn in schedule:
+            wall = fn() if fn is not run_query else run_query(name)
+            best[name] = min(best.get(name, wall), wall)
+            worst[name] = max(worst.get(name, wall), wall)
+
+    times = {name: round(best[name], 3) for name, _ in schedule}
+    n_docs = run_flagship.n_docs
+    docs_per_sec = n_docs / best["correction_pipeline"]
+    docs_per_sec_beam = run_beam.n_docs / best[f"correction_beam_{beam_docs}"]
 
     result = {
-        "metric": "headline query wall time (correction pipeline + operator suite)",
+        "metric": (
+            "headline query wall time (correction pipeline + operator suite; "
+            f"per-query best of {n_passes} interleaved passes)"
+        ),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_spread": {
+            name: round(worst[name] - best[name], 3) for name, _ in schedule
+        },
+        "n_passes": n_passes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "docs_per_sec_correction": round(docs_per_sec, 1) if docs_per_sec else None,
-        "docs_per_sec_beam": round(docs_per_sec_beam, 1) if docs_per_sec_beam else None,
+        "docs_per_sec_correction": round(docs_per_sec, 1),
+        "docs_per_sec_beam": round(docs_per_sec_beam, 1),
         "n_docs": n_docs,
         "cpus": CPUS,
         "cap_drops": cap_drops,
     }
+    result["cap_stress"] = _cap_stress(spark)
     spark.stop()
 
     _add_scaling(result, local="--scaling" in sys.argv,
                  cluster="--scaling-cluster" in sys.argv)
     print(json.dumps(result))
+
+
+def _cap_stress(spark) -> dict:
+    """Exercise the bucket-cap machinery where it actually DROPS
+    (VERDICT r3 #6 — all suite cap_drops are 0 at sf0.1, so the
+    accounting was untested under fire): run embedding_near_dups with
+    max_bucket tightened until real buckets die, and report the drop
+    accounting NEXT TO the recall against the uncapped run. The point
+    at the suite's own settings (n_bands=8): dropping whole band
+    buckets costs little recall because the OR over independent bands
+    re-finds most pairs through surviving buckets — the graceful-
+    degradation property the 100 TB design leans on."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cor_asv_ann_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    kw = dict(threshold=0.25, n_bands=8, n_bits=2, portable=False)
+    full = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dups(emb, max_bucket=None, **kw).collect()
+    }
+    # cap thresholds sized relative to the MEAN bucket (n/2^n_bits) so
+    # the stress bites at any SF: 1.2× mean kills the fattest tail
+    # buckets only; 1.04× mean kills every above-average bucket
+    mean_bucket = emb.count() / (1 << kw["n_bits"])
+    out = {"uncapped_pairs": len(full)}
+    for mb in (int(mean_bucket * 1.2), int(mean_bucket * 1.04)):
+        obs = Observation()
+        capped = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(
+                emb, max_bucket=mb, observation=obs, **kw
+            ).collect()
+        }
+        m = obs.get
+        out[f"max_bucket_{mb}"] = {
+            "rows_total": m.get("rows_total"),
+            "rows_dropped": m.get("rows_dropped"),
+            "buckets_dropped": round(m.get("buckets_dropped", 0.0)),
+            "drop_rate": round(
+                (m.get("rows_dropped") or 0) / max(m.get("rows_total") or 1, 1), 4
+            ),
+            "recall_vs_uncapped": round(len(capped & full) / max(len(full), 1), 4),
+        }
+    return out
 
 
 def _best_of_interleaved(worker_args_for, sides, timeout):
@@ -243,17 +346,11 @@ def _add_scaling(result: dict, local: bool, cluster: bool) -> None:
         pair = (max(CPUS // 8, 1), max(CPUS // 2, 2))
         scale = _best_of_interleaved(
             lambda c: [sys.executable, __file__, "--scaling-worker", str(c)],
-            pair, timeout=1800,
+            pair, timeout=3600,
         )
         lo, hi = sorted(scale)
-        thr_lo = scale[lo]["n_docs"] / scale[lo]["wall_sec"]
-        thr_hi = scale[hi]["n_docs"] / scale[hi]["wall_sec"]
-        result["scaling"] = {
-            f"local[{lo}]_docs_per_sec": round(thr_lo, 1),
-            f"local[{hi}]_docs_per_sec": round(thr_hi, 1),
-            "cores_ratio": hi / lo,
-            "efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
-        }
+        result["scaling"] = _scaling_report(scale, lo, hi, f"local[{lo}]", f"local[{hi}]")
+        result["scaling"]["cores_ratio"] = hi / lo
     if cluster:
         # N vs 4N EXECUTORS: real multi-JVM executors (local-cluster),
         # 4 cores each — broadcast/shuffle cross process boundaries.
@@ -262,17 +359,43 @@ def _add_scaling(result: dict, local: bool, cluster: bool) -> None:
         # memory-bandwidth saturation, not scaling)
         scale = _best_of_interleaved(
             lambda e: [sys.executable, __file__, "--scaling-worker", str(e), "--cluster"],
-            (1, 4), timeout=2400,
+            (1, 4), timeout=3600,
         )
         lo, hi = sorted(scale)
-        thr_lo = scale[lo]["n_docs"] / scale[lo]["wall_sec"]
-        thr_hi = scale[hi]["n_docs"] / scale[hi]["wall_sec"]
-        result["scaling_cluster"] = {
-            f"executors[{lo}x4]_docs_per_sec": round(thr_lo, 1),
-            f"executors[{hi}x4]_docs_per_sec": round(thr_hi, 1),
-            "executors_ratio": hi / lo,
-            "efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
+        result["scaling_cluster"] = _scaling_report(
+            scale, lo, hi, f"executors[{lo}x4]", f"executors[{hi}x4]")
+        result["scaling_cluster"]["executors_ratio"] = hi / lo
+
+
+def _scaling_report(scale: dict, lo: int, hi: int, lo_name: str, hi_name: str) -> dict:
+    """Raw efficiency + the startup-subtracted decomposition: the
+    fixed-cost probe (64-doc run ≈ pure per-stage barrier/scheduling
+    cost) is measured per side; steady-state throughput divides by
+    (wall − fixed_wall), isolating how the COMPUTE scales from how the
+    per-run fixed overhead (paid once per job regardless of size)
+    scales. Both are reported — the raw number is the headline, the
+    steady number is the evidence that the deficit, when there is one,
+    lives in fixed costs that amortize with input size."""
+    thr_lo = scale[lo]["n_docs"] / scale[lo]["wall_sec"]
+    thr_hi = scale[hi]["n_docs"] / scale[hi]["wall_sec"]
+    out = {
+        f"{lo_name}_docs_per_sec": round(thr_lo, 1),
+        f"{hi_name}_docs_per_sec": round(thr_hi, 1),
+        "efficiency": round(thr_hi / thr_lo / (hi / lo), 3),
+        "n_docs": scale[hi]["n_docs"],
+        "tiles": scale[hi].get("tiles"),
+    }
+    if scale[lo].get("fixed_wall_sec") is not None:
+        st_lo = scale[lo]["n_docs"] / max(
+            scale[lo]["wall_sec"] - scale[lo]["fixed_wall_sec"], 1e-9)
+        st_hi = scale[hi]["n_docs"] / max(
+            scale[hi]["wall_sec"] - scale[hi]["fixed_wall_sec"], 1e-9)
+        out["fixed_wall_sec"] = {
+            lo_name: round(scale[lo]["fixed_wall_sec"], 2),
+            hi_name: round(scale[hi]["fixed_wall_sec"], 2),
         }
+        out["efficiency_steady"] = round(st_hi / st_lo / (hi / lo), 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -77,10 +77,24 @@ def build_spans(
 
 
 def synth_spans(
-    spark: SparkSession, sf_dir: str, noisy: bool = False, level: str = "word"
+    spark: SparkSession, sf_dir: str, noisy: bool = False, level: str = "word",
+    times: int = 1,
 ) -> DataFrame:
-    """documents.parquet → spans table (GT or reversibly-degraded)."""
+    """documents.parquet → spans table (GT or reversibly-degraded).
+
+    ``times`` > 1 tiles the corpus with re-keyed copies (doc_id#k) via
+    a narrow explode — no join, no extra scan — for scale/throughput
+    measurements where fixed per-stage costs must amortize (the
+    '10×-corpus' runs in BENCH/BASELINE.md)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if times > 1:
+        docs = docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("_copy"),
+        ).select(
+            F.concat_ws("#", "doc_id", "_copy").alias("doc_id"), "text"
+        )
     # the fixture is a single parquet file → one input split; spread the
     # generator across the cluster (a real 10^12-doc Iceberg table arrives
     # already split, so this shuffle exists only in the synthetic path)
