@@ -58,3 +58,22 @@ spark.stop()
     import json
 
     assert json.loads(line.split(" ", 1)[1])["docs"] == 10
+
+
+def test_repl_transcode_line(tmp_path):
+    """The interactive surface (reference cor-asv-ann-repl parity):
+    piped input drives transcode_line end-to-end for both model
+    formats — greedy + beam decodes printed with the ASCII alignment
+    map, tuple result echoed."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/repl.py"],
+        input="transcode_line('hello!')\n",
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "greedy (ppl=" in r.stdout
+    assert "beamed (ppl=" in r.stdout
+    assert "now entering REPL" in r.stdout
