@@ -518,6 +518,64 @@ def q_word_histogram(spark, sf_dir):
     )
 
 
+def _mat_affix_lexicon(spark) -> str:
+    """Materialize the affix-EXPANDED lexicon (hunspell .dic + .aff
+    fixture → lexicon_from_wordlist → parquet) so the DuckDB oracle
+    replays the IV/OOV join from the same expanded entries — the
+    centroids trick applied to the affix expander."""
+    import os
+
+    from cor_asv_ann_spark.operators.mark import lexicon_from_wordlist
+
+    tag = "lexicon_affix"
+    path = f"{_ORACLE_DIR}/{tag}"
+    lex = lexicon_from_wordlist(
+        spark,
+        os.path.join(os.path.dirname(__file__), "tests/fixtures/en.dic"),
+        aff_path=os.path.join(os.path.dirname(__file__), "tests/fixtures/en.aff"),
+    )
+    if tag not in _MATERIALIZED:
+        lex.coalesce(1).write.mode("overwrite").parquet(path)
+        _MATERIALIZED.add(tag)
+    return path
+
+
+def q_mark_oov_affix(spark, sf_dir):
+    """P8/A7 with an EXTERNAL hunspell dictionary: .dic entries whose
+    affix-rule expansions (quer/Y→query, jo/N→join, stream/S→streams)
+    are corpus words — so the rollup is only right if the SFX rules
+    actually expanded (reference marks via hunspell,
+    wrapper/mark.py:59-69; flag-strip would over-mark those words OOV).
+    Marking runs through the real operator (mark_words: asword
+    normalization + broadcast left-semi against the lexicon)."""
+    from cor_asv_ann_spark.operators.mark import lexicon_from_wordlist, mark_words
+
+    _mat_affix_lexicon(spark)
+    import os
+
+    lex = lexicon_from_wordlist(
+        spark,
+        os.path.join(os.path.dirname(__file__), "tests/fixtures/en.dic"),
+        aff_path=os.path.join(os.path.dirname(__file__), "tests/fixtures/en.aff"),
+    )
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.col("doc_id"),
+        "lang",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("word_idx", "word"),
+    ).filter(F.col("word") != "").withColumn("line_no", F.lit(0))
+    marked = mark_words(words, lex)
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum((~F.col("oov")).cast("long")).alias("n_iv"),
+            F.round(F.avg(F.col("oov").cast("double")), 6).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_mark_oov(spark, sf_dir):
     """P8/A7-shaped: OOV rate per language against a corpus-derived
     lexicon (top-20 tokens) — broadcast anti-join marking."""
@@ -1057,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "word_histogram": q_word_histogram,
         "mark_oov": q_mark_oov,
+        "mark_oov_affix": q_mark_oov_affix,
         "bpe_token_count": q_bpe_token_count,
         "char_lm_counts": q_char_lm_counts,
         "strip_boilerplate": q_strip_boilerplate,
@@ -1496,6 +1555,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT tot.lang, n_words, coalesce(n_iv, 0) AS n_iv,
                    round(CAST(n_words - coalesce(n_iv, 0) AS DOUBLE) / n_words, 6) AS oov_rate
             FROM tot LEFT JOIN iv ON tot.lang = iv.lang ORDER BY tot.lang
+        """,
+        "mark_oov_affix": f"""
+            WITH words AS (
+              SELECT lang,
+                     lower(regexp_replace(w, '[^\\p{{L}}\\p{{M}}]', '', 'g')) AS normed
+              FROM (
+                SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+                FROM documents)
+              WHERE w <> ''),
+            lex AS (
+              SELECT DISTINCT lower(entry) AS normed
+              FROM read_parquet('{_ORACLE_DIR}/lexicon_affix/*.parquet'))
+            SELECT lang, count(*) AS n_words,
+                   CAST(sum(CASE WHEN normed IN (SELECT normed FROM lex)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_iv,
+                   round(avg(CASE WHEN normed IN (SELECT normed FROM lex)
+                             THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+            FROM words GROUP BY lang ORDER BY lang
         """,
         "bpe_token_count": """
             SELECT lang, CAST(sum(n_sub) AS BIGINT) AS sum_subtokens,

@@ -85,10 +85,11 @@ def main() -> None:
         from cor_asv_ann_spark.session import build_session
 
         if "--cluster" in sys.argv:
+            exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
             spark = build_session(
                 app=f"bench-scale-cluster-{cpus}",
-                master=f"local-cluster[{cpus},4,3072]",
-                shuffle_partitions=cpus * 4,
+                master=f"local-cluster[{cpus},{exec_cores},3072]",
+                shuffle_partitions=cpus * exec_cores,
             )
             # executors are real separate JVMs: ship the engine to their
             # Python workers as the --py-files artifact (tools/package.py)
