@@ -374,7 +374,9 @@ def _add_scaling(result: dict, local: bool, cluster: bool) -> None:
         )
         lo, hi = sorted(scale)
         result["scaling_cluster"] = _scaling_report(
-            scale, lo, hi, f"executors[{lo}x4]", f"executors[{hi}x4]")
+            scale, lo, hi,
+            f"executors[{lo}x{os.environ.get('SPARK_GRAFT_EXEC_CORES', '3')}]",
+            f"executors[{hi}x{os.environ.get('SPARK_GRAFT_EXEC_CORES', '3')}]")
         result["scaling_cluster"]["executors_ratio"] = hi / lo
 
 
