@@ -174,3 +174,23 @@ def test_stateful_path_single_doc_exchange(spark, sf_small):
     assert "rangepartitioning" not in plan.lower()
     # and the exchange feeding the UDF hashes on doc_id alone
     assert re.search(r"hashpartitioning\(doc_id#\d+, \d+\), REPARTITION_BY_NUM", plan)
+
+
+def test_mark_affix_lexicon_broadcasts(spark, sf_small, tmp_path):
+    """The affix-expanded lexicon is tiny (dictionary-bounded) — the
+    IV/OOV marking must be a broadcast left-semi join, never a shuffle
+    or cartesian over the corpus words."""
+    from cor_asv_ann_spark.operators.mark import (
+        lexicon_from_wordlist,
+        mark_words,
+        words_from_spans,
+    )
+
+    (tmp_path / "w.aff").write_text("SFX S Y 1\nSFX S 0 s .\n")
+    (tmp_path / "w.dic").write_text("2\nword/S\nspan\n")
+    lex = lexicon_from_wordlist(spark, str(tmp_path / "w.dic"))
+    words = words_from_spans(synth_spans(spark, sf_small))
+    plan = formatted_plan(mark_words(words, lex))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert has_broadcast_join(plan) or "BroadcastExchange" in plan
