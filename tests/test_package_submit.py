@@ -77,3 +77,71 @@ def test_repl_transcode_line(tmp_path):
     assert "greedy (ppl=" in r.stdout
     assert "beamed (ppl=" in r.stdout
     assert "now entering REPL" in r.stdout
+
+
+def test_run_proc_file_to_file(spark, tmp_path):
+    """cor-asv-ann-proc parity: plain/TSV/.pkl input files → one
+    corrected output file per input (suffix rewrite), in-file line
+    order exact, decoding distributed via the trained fixture model —
+    the corrected lines must be closer to GT than the noisy input
+    (in-distribution lines from the fixture's training corpus)."""
+    import difflib
+    import json
+    import pickle
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        spans_with_line_no,
+    )
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    sf = "/root/testdata/sf0.001"
+    gt_f = assemble_lines(spans_with_line_no(synth_spans(spark, sf, noisy=False)))
+    no_f = assemble_lines(spans_with_line_no(synth_spans(spark, sf, noisy=True)))
+    g = gt_f.select("doc_id", "line_no", F.concat_ws("", "texts").alias("gt"))
+    n = no_f.select("doc_id", "line_no", F.concat_ws("", "texts").alias("ocr"))
+    rows = (
+        g.join(n, ["doc_id", "line_no"])
+        .filter((F.length("gt") <= 45) & (F.col("doc_id").cast("int") >= 300))
+        .orderBy("doc_id", "line_no").limit(8).collect()
+    )
+    gt = [r.gt.rstrip("\n") for r in rows]
+    noisy = [r.ocr.rstrip("\n") for r in rows]
+
+    (tmp_path / "a.txt").write_text("\n".join(noisy[:4]) + "\n")
+    (tmp_path / "b.tsv").write_text(
+        "".join(f"{s_}\tignored\n" for s_ in noisy[4:]))
+    with open(tmp_path / "c.pkl", "wb") as f:
+        pickle.dump(list(zip(noisy[:4], gt[:4])), f)
+
+    r = subprocess.run(
+        [sys.executable, "jobs/run_proc.py", "--model",
+         "tests/fixtures/trained_w64_d1.npz", "--fast", "--cpus", "4",
+         "--new-suffix", ".cor.txt",
+         str(tmp_path / "a.txt"), str(tmp_path / "b.tsv"),
+         str(tmp_path / "c.pkl")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["files"] == 3
+    out_a = (tmp_path / "a.cor.txt").read_text().splitlines()
+    out_b = (tmp_path / "b.cor.txt").read_text().splitlines()
+    out_c = (tmp_path / "c.cor.txt").read_text().splitlines()
+    assert len(out_a) == 4 and len(out_b) == 4 and len(out_c) == 4
+    # NOTE: out_c is not asserted char-equal to out_a — identical
+    # sources can decode marginally differently in Arrow batches with
+    # different pad lengths (the backward encoder half runs through
+    # padding, faithful to the reference's unmasked LSTM graph); the
+    # corpus-level CER improvement below is the contract
+
+    def cer(outs, tgts):
+        return sum(1 - difflib.SequenceMatcher(None, o, t).ratio()
+                   for o, t in zip(outs, tgts)) / len(tgts)
+
+    assert cer(out_a + out_b, gt) < cer(noisy, gt), (out_a + out_b, noisy)
+    assert cer(out_c, gt[:4]) < cer(noisy[:4], gt[:4])
