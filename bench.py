@@ -241,11 +241,22 @@ def main() -> None:
     )
     best: dict[str, float] = {}
     worst: dict[str, float] = {}
+    # time budget: a contended window can double pass time, and the
+    # driver invokes bench.py under a finite timeout — finishing with
+    # best-of-2 beats being killed mid-pass-3 ($SPARK_GRAFT_BENCH_BUDGET
+    # seconds for the pass loop; pass 1 always runs to completion)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "700"))
+    t_start = time.time()
+    passes_run = 0
     for _pass in range(n_passes):
+        if _pass > 0 and time.time() - t_start > budget:
+            break
         for name, fn in schedule:
             wall = fn() if fn is not run_query else run_query(name)
             best[name] = min(best.get(name, wall), wall)
             worst[name] = max(worst.get(name, wall), wall)
+        passes_run += 1
+    n_passes = passes_run
 
     times = {name: round(best[name], 3) for name, _ in schedule}
     n_docs = run_flagship.n_docs
