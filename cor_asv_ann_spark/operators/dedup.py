@@ -50,17 +50,22 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct character n-grams over normalized text (JVM-side via
-    transform/sequence)."""
+    transform/sequence).
+
+    COMPLEXITY: slices a once-split char-array column (O(n-gram) per
+    position ⇒ linear per doc) — the substring(_nt_, i, k) formulation
+    is a codepoint scan from the string start on every call, i.e.
+    quadratic per document (same fix as lm.char_ngram_counts)."""
     # NB: guard short strings — Spark's sequence(1, 0) counts *down*
     shingles = F.expr(
-        f"CASE WHEN length(_nt_) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, length(_nt_) - {n - 1}),"
-        f" i -> substring(_nt_, i, {n}))) ELSE array() END"
+        f"CASE WHEN size(_cs_) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_cs_) - {n - 1}),"
+        f" i -> array_join(slice(_cs_, i, {n}), ''))) ELSE array() END"
     )
     return (
-        df.withColumn("_nt_", normalized_text(F.col(text_col)))
+        df.withColumn("_cs_", F.split(normalized_text(F.col(text_col)), ""))
         .withColumn("shingles", shingles)
-        .drop("_nt_")
+        .drop("_cs_")
     )
 
 
