@@ -272,3 +272,47 @@ def test_mark_with_affix_expanded_lexicon(spark, tmp_path):
     lex_stripped = lexicon_from_wordlist(spark, str(tmp_path / "solo.dic"))
     marked2 = mark_words(words_from_spans(spans), lex_stripped)
     assert {r.word: r.oov for r in marked2.collect()}["Häuser"] is True
+
+
+def test_affix_expansion_properties():
+    """Property test: random SFX/PFX rule sets + random words — the
+    expander must (1) keep the base first, (2) emit unique forms, (3)
+    emit a suffixed form iff the word ends with the strip AND matches
+    the condition (checked against an independent regex oracle), (4)
+    never crash on arbitrary comment/garbage lines in the .aff."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cor_asv_ann_spark.corelib.affix import expand_entry, parse_aff
+
+    letters = st.text(alphabet="abcdes", min_size=1, max_size=4)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        word=st.text(alphabet="abcdes", min_size=1, max_size=8),
+        strip=st.one_of(st.just(""), letters),
+        append=letters,
+        cond=st.one_of(st.just("."), st.sampled_from(["a", "s", "e", "[^s]", "[ae]"])),
+        garbage=st.text(alphabet="XYZ# \t/", max_size=12),
+    )
+    def check(word, strip, append, cond, garbage):
+        aff = parse_aff(
+            f"{garbage}\n"
+            "SFX Q Y 1\n"
+            f"SFX Q {strip or 0} {append} {cond}\n"
+        )
+        forms = expand_entry(f"{word}/Q", aff)
+        assert forms[0] == word
+        assert len(forms) == len(set(forms))
+        # independent oracle: hunspell suffix semantics via regex
+        cond_re = ".*" if cond == "." else f".*{cond}$"
+        applies = word.endswith(strip) and re.fullmatch(cond_re, word)
+        expected = word[: len(word) - len(strip)] + append if applies else None
+        if expected and expected != word:
+            assert forms == [word, expected]
+        else:
+            assert forms == [word]
+
+    check()
