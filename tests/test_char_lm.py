@@ -88,3 +88,23 @@ def test_lm_table_top_k_per_ctx_bound(spark):
     for ctx, d in capped.items():
         head = sorted(full[ctx].items(), key=lambda kv: (-kv[1], kv[0]))[: len(d)]
         assert d == dict(head)
+
+
+def test_ngram_counts_astral_codepoints(spark):
+    """The array-slice n-gram path (O(n·k) rewrite) must stay
+    codepoint-aware: Spark's split(t, '') yields whole codepoints (no
+    surrogate halves), so astral-plane chars (emoji, 𝔄) count exactly
+    as the substring formulation and the DuckDB oracle do."""
+    from cor_asv_ann_spark.operators.lm import char_ngram_counts
+
+    df = spark.createDataFrame([("𝔄😀𝔄",)], ["text"])
+    rows = {(r.ctx, r.ch): r.n for r in char_ngram_counts(df, order=3).collect()}
+    assert rows[("", "𝔄")] == 2
+    assert rows[("", "😀")] == 1
+    assert rows[("𝔄", "😀")] == 1
+    assert rows[("𝔄😀", "𝔄")] == 1
+    # no surrogate-half keys anywhere
+    assert all(
+        all(0xD800 > ord(c) or ord(c) > 0xDFFF for c in ctx + ch)
+        for ctx, ch in rows
+    )
