@@ -112,3 +112,102 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.repartition("media_type").mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("meta_width", T.IntegerType(), False),
+        T.StructField("meta_height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize as an Arrow-batched mapInPandas over the image rows
+    only (filter pushes to the media scan). The pixel resample itself
+    is the stubbed decode (PIL absent from this container) — real are:
+    the type filter, the batch shape, the payload-in/payload-out UDF
+    signature a real resizer drops into, and the metadata rewrite
+    (meta_width/height reflect the TARGET size, the contract downstream
+    consumers read)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_payloads = []
+            for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
+                pixels = decode_stub(bytes(payload), str(mtype))
+                # stub resample: deterministic re-hash at target geometry
+                # (a real impl: PIL Image.resize on the decoded array)
+                out_payloads.append(
+                    hashlib.md5(
+                        pixels.tobytes() + f"{width}x{height}".encode()
+                    ).digest()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payloads,
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .mapInPandas(resize, schema=RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("t_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 16) -> DataFrame:
+    """Video frame sampling: one output ROW per sampled frame (the
+    1→N generate shape a real ffmpeg-backed sampler has), timestamps
+    from the real duration metadata, frame count bounded by
+    ``max_frames`` (the cap a 10-hour video needs so one row cannot
+    explode an Arrow batch). Frame bytes are the stubbed decode."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for ref, doc_id, payload, dur in zip(
+                pdf["media_ref"], pdf["doc_id"], pdf["payload"],
+                pdf["meta_duration_ms"],
+            ):
+                n = min(max(int(dur) // every_ms, 1), max_frames)
+                for i in range(n):
+                    t = i * every_ms
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "t_ms": t,
+                            "frame": hashlib.md5(
+                                bytes(payload) + t.to_bytes(4, "big")
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .mapInPandas(sample, schema=FRAME_SCHEMA)
+    )

@@ -133,3 +133,43 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     kept_hello = {"a1", "b1"} & rows
     assert len(kept_hello) == 1  # exactly one copy of the duplicate survives
     assert len(rows) == 3
+
+
+def test_resize_and_frame_sample_plumbing(spark, sf_small):
+    """Resize + frame-sample (prompt's multimodal op list): type filter
+    reaches the rows, metadata rewrites to target geometry, frame rows
+    are 1→N with duration-derived timestamps bounded by max_frames, and
+    both are deterministic across partitionings (the stub-decode
+    discipline: Spark plumbing real, codec faked)."""
+    from cor_asv_ann_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media_table,
+    )
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    media = synth_media_table(spark, synth_spans(spark, sf_small)).cache()
+    types = {r.media_ref: r.media_type for r in media.collect()}
+
+    resized = resize_images(media, width=48, height=24).collect()
+    assert len(resized) == sum(1 for t in types.values() if t == "image")
+    assert all(r.meta_width == 48 and r.meta_height == 24 for r in resized)
+    assert all(len(r.payload) == 16 for r in resized)
+
+    frames = sample_frames(media, every_ms=5000, max_frames=4).collect()
+    by_ref = {}
+    for r in frames:
+        assert types[r.media_ref] == "video"
+        assert r.t_ms == r.frame_idx * 5000
+        by_ref.setdefault(r.media_ref, []).append(r.frame_idx)
+    durs = {r.media_ref: r.meta_duration_ms for r in media.collect()}
+    for ref, idxs in by_ref.items():
+        n = min(max(durs[ref] // 5000, 1), 4)
+        assert sorted(idxs) == list(range(n))
+
+    # partitioning-invariant (deterministic stub decode)
+    a = {(r.media_ref, r.frame_idx): r.frame
+         for r in sample_frames(media.repartition(7), every_ms=5000, max_frames=4).collect()}
+    b = {(r.media_ref, r.frame_idx): r.frame
+         for r in sample_frames(media.coalesce(1), every_ms=5000, max_frames=4).collect()}
+    assert a == b
