@@ -518,11 +518,12 @@ def q_word_histogram(spark, sf_dir):
     )
 
 
-def _mat_affix_lexicon(spark) -> str:
-    """Materialize the affix-EXPANDED lexicon (hunspell .dic + .aff
-    fixture → lexicon_from_wordlist → parquet) so the DuckDB oracle
-    replays the IV/OOV join from the same expanded entries — the
-    centroids trick applied to the affix expander."""
+def _mat_affix_lexicon(spark):
+    """Build + materialize the affix-EXPANDED lexicon (hunspell .dic +
+    .aff fixture → lexicon_from_wordlist → parquet) so the DuckDB
+    oracle replays the IV/OOV join from the same expanded entries —
+    the centroids trick applied to the affix expander. Returns the
+    lexicon frame."""
     import os
 
     from cor_asv_ann_spark.operators.mark import lexicon_from_wordlist
@@ -537,7 +538,7 @@ def _mat_affix_lexicon(spark) -> str:
     if tag not in _MATERIALIZED:
         lex.coalesce(1).write.mode("overwrite").parquet(path)
         _MATERIALIZED.add(tag)
-    return path
+    return lex
 
 
 def q_mark_oov_affix(spark, sf_dir):
@@ -548,16 +549,9 @@ def q_mark_oov_affix(spark, sf_dir):
     wrapper/mark.py:59-69; flag-strip would over-mark those words OOV).
     Marking runs through the real operator (mark_words: asword
     normalization + broadcast left-semi against the lexicon)."""
-    from cor_asv_ann_spark.operators.mark import lexicon_from_wordlist, mark_words
+    from cor_asv_ann_spark.operators.mark import mark_words
 
-    _mat_affix_lexicon(spark)
-    import os
-
-    lex = lexicon_from_wordlist(
-        spark,
-        os.path.join(os.path.dirname(__file__), "tests/fixtures/en.dic"),
-        aff_path=os.path.join(os.path.dirname(__file__), "tests/fixtures/en.aff"),
-    )
+    lex = _mat_affix_lexicon(spark)
     d = _docs(spark, sf_dir)
     words = d.select(
         F.col("doc_id"),
