@@ -391,18 +391,29 @@ def test_lm_transfer_beats_cold_start():
     lm_losses = train_lm_local(lm_model, clean, epochs=150, lr=1e-2)
     assert lm_losses[-1] < lm_losses[0] * 0.5  # the LM itself learned
 
+    import difflib
+
     def train_and_val(model):
         train_local(model, pairs, epochs=8, lr=5e-3, patience=0)
         params = {k: p.astype(np.float64) for k, p in get_params(model).items()}
-        vs = [s for s, _ in val]
-        vt = [t for _, t in val]
-        return forward_loss(params, *vectorize_pairs(model, vs, vt))
+        vs = [s if s.endswith("\n") else s + "\n" for s, _ in val]
+        vt = [t if t.endswith("\n") else t + "\n" for _, t in val]
+        loss = forward_loss(params, *vectorize_pairs(model, vs, vt))
+        outs, _, _ = model.decode_greedy_batch(vs)
+        cer = sum(
+            1 - difflib.SequenceMatcher(None, o, t).ratio()
+            for o, t in zip(outs, vt)
+        ) / len(vt)
+        return loss, cer
 
     warm = make()
     set_params(warm, init_from_lm(get_params(warm), get_params(lm_model)))
-    warm_loss = train_and_val(warm)
-    cold_loss = train_and_val(make())
+    warm_loss, warm_cer = train_and_val(warm)
+    cold_loss, cold_cer = train_and_val(make())
+    # the VERDICT done-criterion: LM-init beats cold start at equal
+    # epochs on val CER (free-running decode), and on val loss too
     assert warm_loss < cold_loss, (warm_loss, cold_loss)
+    assert warm_cer < cold_cer, (warm_cer, cold_cer)
 
 
 def test_init_from_lm_shape_guard():
