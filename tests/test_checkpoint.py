@@ -77,7 +77,7 @@ def test_checkpoint_single_execution(spark, sf_small, tmp_path):
     )
 
 
-def test_real_kill9_mid_job_resume(tmp_path):
+def test_real_kill9_mid_job_resume(spark, tmp_path):
     """The north rule's resumability, demonstrated for real: the
     spark-submit entry is SIGKILLed mid-run (no cleanup, no atexit —
     the cluster-preemption case), then re-invoked with the same run-id
@@ -140,18 +140,12 @@ def test_real_kill9_mid_job_resume(tmp_path):
     assert rep["buckets_skipped"] >= 2, rep
     assert rep["buckets_skipped"] < 10, rep
 
-    # output equality, span for span
-    from pyspark.sql import functions as F
-
-    from cor_asv_ann_spark.session import build_session
-
-    spark2 = build_session(app="kill9-verify", cpus=4, shuffle_partitions=4)
-    try:
-        a = spark2.read.parquet(clean_out).select(
-            "doc_id", F.posexplode("spans").alias("i", "s"))
-        b = spark2.read.parquet(out).select(
-            "doc_id", F.posexplode("spans").alias("i", "s"))
-        assert a.count() == b.count()
-        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
-    finally:
-        spark2.stop()
+    # output equality, span for span (NB: verify on the suite's shared
+    # session — build_session().getOrCreate() would RETURN that session
+    # and stopping it here would kill Spark for every later test)
+    a = spark.read.parquet(clean_out).select(
+        "doc_id", F.posexplode("spans").alias("i", "s"))
+    b = spark.read.parquet(out).select(
+        "doc_id", F.posexplode("spans").alias("i", "s"))
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
