@@ -145,23 +145,30 @@ def main() -> None:
         F.col("doc_id").alias("file"), "line_no",
         F.concat_ws("", F.col("out_texts")).alias("corrected"),
     )
-    per_file = (
-        out.groupBy("file")
-        .agg(F.array_sort(F.collect_list(F.struct("line_no", "corrected"))).alias("ls"))
-        .collect()
-    )
+    # STREAM the ordered result to the client — toLocalIterator pulls
+    # one partition at a time, so driver memory stays bounded even when
+    # one input file is huge (a groupBy + collect_list + collect would
+    # materialize every corrected line of a file at once). Output-file
+    # writing is inherently client-side (exactly as the reference CLI
+    # writes its per-file outputs).
     done = []
-    for row in per_file:
-        base = row.file
-        if args.old_suffix and base.endswith(args.old_suffix):
-            base = base[: -len(args.old_suffix)]
-        elif not args.old_suffix:
-            base = os.path.splitext(base)[0]
-        out_path = base + args.new_suffix
-        with open(out_path, "w", encoding="utf-8") as f:
-            for item in row.ls:
-                f.write(item.corrected.rstrip("\n") + "\n")
-        done.append(out_path)
+    cur_name, cur_f = None, None
+    for row in out.orderBy("file", "line_no").toLocalIterator():
+        if row.file != cur_name:
+            if cur_f is not None:
+                cur_f.close()
+            cur_name = row.file
+            base = cur_name
+            if args.old_suffix and base.endswith(args.old_suffix):
+                base = base[: -len(args.old_suffix)]
+            elif not args.old_suffix:
+                base = os.path.splitext(base)[0]
+            out_path = base + args.new_suffix
+            cur_f = open(out_path, "w", encoding="utf-8")
+            done.append(out_path)
+        cur_f.write(row.corrected.rstrip("\n") + "\n")
+    if cur_f is not None:
+        cur_f.close()
     print(json.dumps({"files": len(done), "outputs": done}))
     spark.stop()
 
