@@ -39,3 +39,31 @@ def test_sql_surface(spark, sf_small):
         "SELECT count(*) AS n FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ).collect()[0].n
     assert n > 0
+
+
+def test_driver_contract_keys_aligned():
+    """Every queries() entry must have an oracle_sql() twin and vice
+    versa (the driver's correctness gate compares them pairwise — a
+    missing oracle silently downgrades a query to rows-only), and
+    bench.py's suite list must name real queries."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    q, o = set(e.queries()), set(e.oracle_sql())
+    assert q == o, (sorted(q - o), sorted(o - q))
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    # the suite list lives inside main(); pull it from the source text
+    src = open("/root/repo/bench.py").read()
+    import re
+
+    block = re.search(r"bench_queries = \[(.*?)\]", src, re.S).group(1)
+    names = re.findall(r'"([a-z_0-9]+)"', block)
+    missing = [n for n in names if n not in q]
+    assert not missing, missing
