@@ -191,7 +191,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 16) 
                 pdf["media_ref"], pdf["doc_id"], pdf["payload"],
                 pdf["meta_duration_ms"],
             ):
-                n = min(max(int(dur) // every_ms, 1), max_frames)
+                # meta_duration_ms is nullable (schema line 31): a null
+                # duration still yields the min-1-frame row
+                dur = 0 if pd.isna(dur) else int(dur)
+                n = min(max(dur // every_ms, 1), max_frames)
                 for i in range(n):
                     t = i * every_ms
                     rows.append(

@@ -22,11 +22,26 @@ beam is opt-in via ``--beam`` (the reference defaults to beamed and
 offers -f/--fast — flipped here because greedy is the documented ~10×
 cheaper path and both CLIs expose both).
 
-Formats: plain text (one source line per line), TSV (first field =
-source, target ignored — as the reference does), ``.pkl`` dumps of
-(source, target) string pairs. Prob-line/confmat pickle channels go
-through ``jobs/run_correction.py`` (the spans pipeline carries conf
-columns); this file-to-file CLI is for the string path.
+Formats (proc.py:33-40 + lib/seq2seq.py:946-964 gen_lines):
+ - plain text (one source line per line; CRLF-safe via splitlines),
+ - TSV (first field = source, target ignored — as the reference does),
+ - ``.pkl`` dumps of (source, target) pairs where source is
+   - a plain string,
+   - a prob line (sequence of (char, prob) tuples), or
+   - a confmat (sequence of alternative lists of (string, prob)).
+Prob lines and confmats ride the confmat channel of the model
+corrector (encoding 3): a prob-line char (c, p) becomes the chunk
+[(c, p), ('', 1-p)] whose vectorization is bit-identical to the
+prob-line encoding (p at c's index, the deficit at index 0 /
+underspecified — seq2seq.py:1037-1041 semantics).
+
+The ``--charmap`` is applied single-pass with str.translate /
+str.maketrans (seq2seq.py:929-930,975-976) inside the line-splitting
+UDF — each character mapped exactly once, so swap maps like
+{"a":"b","b":"a"} cannot cascade (a chained per-entry replace would
+corrupt them). Multi-char keys fall back to one regex alternation
+pass, longest key first. Lines are NFC-normalized after the charmap
+(seq2seq.py:978-979).
 """
 
 from __future__ import annotations
@@ -39,50 +54,140 @@ import sys
 sys.path.insert(0, ".")
 
 
-def read_files_ordered(spark, paths: list[str]):
-    """binaryFile scan over the given files → (file, line_no, source)
-    with exact in-file line order (one Arrow row per file in, split in
-    Python — text row order from a parallel text scan is NOT
-    guaranteed, file bytes are)."""
+def make_charmap_fn(cmap: dict[str, str] | None):
+    """Single-pass charmap: str.translate for 1-char keys (the
+    reference's exact mechanism, seq2seq.py:929-930), one regex
+    alternation pass (longest-first) when multi-char keys appear.
+    Either way every input character is consumed exactly once — no
+    output of one mapping can feed another."""
+    if not cmap:
+        return lambda s: s
+    if all(len(k) == 1 for k in cmap):
+        table = str.maketrans(cmap)
+        return lambda s: s.translate(table)
+    import re
+
+    pat = re.compile(
+        "|".join(re.escape(k) for k in sorted(cmap, key=len, reverse=True))
+    )
+    return lambda s: pat.sub(lambda m: cmap[m.group(0)], s)
+
+
+def _pkl_source_row(src, charmap_fn):
+    """One pickle pair's source side → (text, confmat_json|None)
+    following gen_lines (seq2seq.py:946-964): prob lines and confmats
+    keep their confidence as confmat chunks; a source without a
+    trailing EOS is replaced by a bare newline line (seq2seq.py:962-964
+    'except when it's not')."""
+    import unicodedata
+
+    if isinstance(src, str):
+        text, chunks = src, None
+    elif not src:  # empty
+        text, chunks = "", None
+    elif isinstance(src[0], tuple) and isinstance(src[0][0], str) and len(src[0]) == 2 \
+            and not isinstance(src[0][1], (list, tuple)):
+        # prob line: [(char, prob), ...] → exact confmat chunks
+        text = "".join(c for c, _ in src)
+        chunks = [
+            [{"alt": c, "p": float(p)}] + ([{"alt": "", "p": 1.0 - float(p)}]
+                                           if float(p) < 1.0 else [])
+            for c, p in src
+        ]
+    else:
+        # confmat: [[(alt, prob), ...], ...]; nominal text = first
+        # alternative of each chunk (seq2seq.py:957-958)
+        text = "".join(chunk[0][0] if chunk else "" for chunk in src)
+        chunks = [
+            [{"alt": a, "p": float(p)} for a, p in chunk] for chunk in src
+        ]
+    if not text.endswith("\n"):
+        if chunks is not None:
+            # reference replaces a non-EOS-terminated confidence line
+            # entirely with a bare EOS (seq2seq.py:962-964)
+            text, chunks = "\n", [[{"alt": "\n", "p": 1.0}]]
+        # plain strings keep their content; EOS is appended by the
+        # frame construction below (mirrors the reference text path)
+    text = unicodedata.normalize("NFC", charmap_fn(text.rstrip("\n")))
+    return text, (json.dumps(chunks) if chunks is not None else None)
+
+
+def read_files_ordered(spark, paths: list[str], cmap: dict[str, str] | None = None):
+    """binaryFile scan over the given files → (file, line_no, source,
+    confmat) with exact in-file line order (one Arrow row per file in,
+    split in Python — text row order from a parallel text scan is NOT
+    guaranteed, file bytes are). ``confmat`` is a JSON chunk list for
+    pickle prob-line/confmat sources, null for plain strings."""
     import pickle
+    import unicodedata
 
     import pandas as pd
 
     df = spark.read.format("binaryFile").load(paths)
 
     def split(batches):
+        charmap_fn = make_charmap_fn(cmap)
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
                 name = path[len("file:"):] if path.startswith("file:") else path
+                cms: list[str | None]
                 if name.endswith(".pkl"):
                     pairs = pickle.loads(bytes(content))
-                    lines = []
+                    lines, cms = [], []
                     for pair in pairs:
-                        src = pair[0] if isinstance(pair, (list, tuple)) else pair
-                        if not isinstance(src, str):
-                            raise NotImplementedError(
-                                "prob-line/confmat pickles: use "
-                                "jobs/run_correction.py (conf channels ride "
-                                "the spans pipeline)"
-                            )
-                        lines.append(src.rstrip("\n"))
+                        # pickle rows are (source, target) pairs
+                        # (seq2seq.py:946 `source_text, target_text = line`);
+                        # tolerate bare source strings too
+                        src = pair[0] if isinstance(pair, (list, tuple)) \
+                            and len(pair) == 2 else pair
+                        text, cm = _pkl_source_row(src, charmap_fn)
+                        lines.append(text)
+                        cms.append(cm)
                 else:
+                    # universal newlines: splitlines handles \n, \r\n, \r
+                    # (the reference opens text files in text mode)
                     text = bytes(content).decode("utf-8", errors="replace")
-                    lines = text.split("\n")
-                    if lines and lines[-1] == "":
-                        lines.pop()
+                    lines = text.splitlines()
                     # TSV: source is the first tab field (reference proc
                     # ignores the target side)
-                    lines = [ln.split("\t", 1)[0] for ln in lines]
+                    lines = [
+                        unicodedata.normalize(
+                            "NFC", charmap_fn(ln.split("\t", 1)[0]))
+                        for ln in lines
+                    ]
+                    cms = [None] * len(lines)
                 yield pd.DataFrame(
                     {
                         "file": [name] * len(lines),
                         "line_no": range(len(lines)),
                         "source": lines,
+                        "confmat": cms,
                     }
                 )
 
-    return df.mapInPandas(split, schema="file string, line_no long, source string")
+    return df.mapInPandas(
+        split, schema="file string, line_no long, source string, confmat string"
+    )
+
+
+def derive_output_name(name: str, old_suffix: str, new_suffix: str) -> str:
+    """Output-name derivation matching proc.py:72-78: remove
+    ``old_suffix`` wherever it occurs; if it was given but absent, fall
+    back to stripping the last extension with a warning."""
+    if old_suffix and old_suffix in name:
+        base = name.replace(old_suffix, "")
+    else:
+        base, ext = os.path.splitext(name)
+        if old_suffix:
+            print(
+                f"warning: input file '{name}' does not contain suffix "
+                f"'{old_suffix}', removing '{ext}'",
+                file=sys.stderr,
+            )
+    if base == name:
+        print(f"warning: input file '{name}' does not have a suffix",
+              file=sys.stderr)
+    return base + new_suffix
 
 
 def main() -> None:
@@ -120,18 +225,16 @@ def main() -> None:
 
         model = Seq2SeqModel.load_npz(args.model)
 
+    cmap = json.loads(args.charmap) if args.charmap else None
+    has_confidence = any(p.endswith(".pkl") for p in args.data)
+
     spark = build_session(app="proc", cpus=args.cpus)
-    lines = read_files_ordered(spark, args.data)
-    if args.charmap:
-        cmap = json.loads(args.charmap)
-        src = F.col("source")
-        for frm, to in cmap.items():
-            src = F.replace(src, F.lit(frm), F.lit(to))
-        lines = lines.withColumn("source", src)
+    lines = read_files_ordered(spark, args.data, cmap)
 
     corrector = make_model_corrector(
         spark, model, beam=args.beam and not args.fast,
         rejection_threshold=args.rejection,
+        use_confmat=has_confidence and not args.beam,
     )
     frame = lines.select(
         F.col("file").alias("doc_id"),
@@ -140,6 +243,7 @@ def main() -> None:
         F.array(F.concat(F.col("source"), F.lit("\n"))).alias("texts"),
         F.array(F.lit(None).cast("string")).alias("media_refs"),
         F.array(F.lit(0)).alias("offsets"),
+        F.col("confmat"),
     )
     out = correct_lines(frame, corrector).select(
         F.col("doc_id").alias("file"), "line_no",
@@ -158,12 +262,8 @@ def main() -> None:
             if cur_f is not None:
                 cur_f.close()
             cur_name = row.file
-            base = cur_name
-            if args.old_suffix and base.endswith(args.old_suffix):
-                base = base[: -len(args.old_suffix)]
-            elif not args.old_suffix:
-                base = os.path.splitext(base)[0]
-            out_path = base + args.new_suffix
+            out_path = derive_output_name(
+                cur_name, args.old_suffix, args.new_suffix)
             cur_f = open(out_path, "w", encoding="utf-8")
             done.append(out_path)
         cur_f.write(row.corrected.rstrip("\n") + "\n")

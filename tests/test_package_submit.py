@@ -145,3 +145,124 @@ def test_run_proc_file_to_file(spark, tmp_path):
 
     assert cer(out_a + out_b, gt) < cer(noisy, gt), (out_a + out_b, noisy)
     assert cer(out_c, gt[:4]) < cer(noisy[:4], gt[:4])
+
+
+def test_proc_output_name_derivation():
+    """Name derivation parity with proc.py:72-78: old_suffix removed
+    wherever present; set-but-absent falls back to stripping the last
+    extension (the ADVICE r4 divergence)."""
+    from jobs.run_proc import derive_output_name
+
+    assert derive_output_name("f.txt", "", ".cor.txt") == "f.cor.txt"
+    assert derive_output_name("f.old.txt", ".old.txt", ".cor.txt") == "f.cor.txt"
+    # old_suffix given but absent → strip last extension, not keep name
+    assert derive_output_name("f.txt", ".bogus", ".cor.txt") == "f.cor.txt"
+    # reference removes the suffix anywhere (str.replace semantics)
+    assert derive_output_name("a.old.b.old.txt", ".old", ".c") == "a.b.txt.c"
+
+
+def test_proc_charmap_single_pass():
+    """Charmap is single-pass (str.translate semantics): a swap map
+    must not cascade (the ADVICE r4 medium finding — chained F.replace
+    turned {"a":"b","b":"a"} into all-'a')."""
+    from jobs.run_proc import make_charmap_fn
+
+    assert make_charmap_fn({"a": "b", "b": "a"})("abba") == "baab"
+    # each char mapped once: ſ→s must NOT cascade into s→z
+    assert make_charmap_fn({"ſ": "s", "s": "z"})("ſtraſse") == "strasze"
+    assert make_charmap_fn({"ſ": "s", "s": "z"})("ſs") == "sz"
+    # multi-char keys: one pass, longest key first
+    fn = make_charmap_fn({"ab": "X", "b": "Y"})
+    assert fn("abb") == "XY"
+    assert make_charmap_fn(None)("abc") == "abc"
+
+
+def test_read_files_ordered_crlf_and_charmap(spark, tmp_path):
+    """CRLF inputs must not leak '\\r' into model input (universal
+    newlines, as the reference's text-mode open), and the charmap is
+    applied inside the split UDF exactly once per char."""
+    from jobs.run_proc import read_files_ordered
+
+    p = tmp_path / "crlf.txt"
+    p.write_bytes(b"ab\r\nba\r\ncd\r\n")
+    rows = (
+        read_files_ordered(spark, [str(p)], cmap={"a": "b", "b": "a"})
+        .orderBy("line_no").collect()
+    )
+    assert [r.source for r in rows] == ["ba", "ab", "cd"]
+    assert all("\r" not in r.source for r in rows)
+    assert all(r.confmat is None for r in rows)
+
+
+def test_run_proc_confmat_pickle(spark, tmp_path):
+    """cor-asv-ann-proc confmat parity (reference proc.py:33-40: pkl
+    sources may be prob lines or confusion networks): run_proc on a
+    confmat .pkl and a prob-line .pkl produces corrected output files
+    directly (no detour through run_correction), line counts exact,
+    corpus CER improved vs the noisy first-alternatives; --old-suffix
+    absent from a name falls back to extension-stripping with a
+    warning."""
+    import difflib
+    import json
+    import pickle
+
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        spans_with_line_no,
+    )
+    from cor_asv_ann_spark.sources.spans import synth_spans
+
+    sf = "/root/testdata/sf0.001"
+    gt_f = assemble_lines(spans_with_line_no(synth_spans(spark, sf, noisy=False)))
+    no_f = assemble_lines(spans_with_line_no(synth_spans(spark, sf, noisy=True)))
+    g = gt_f.select("doc_id", "line_no", F.concat_ws("", "texts").alias("gt"))
+    n = no_f.select("doc_id", "line_no", F.concat_ws("", "texts").alias("ocr"))
+    rows = (
+        g.join(n, ["doc_id", "line_no"])
+        .filter((F.length("gt") <= 45) & (F.col("doc_id").cast("int") >= 300))
+        .orderBy("doc_id", "line_no").limit(8).collect()
+    )
+    gt = [r.gt.rstrip("\n") for r in rows]
+    noisy = [r.ocr.rstrip("\n") for r in rows]
+
+    # confmat pkl: per-char single-alt chunks + EOS chunk (pickle
+    # format preserves end-of-sequence, seq2seq.py:946-958)
+    confmats = [
+        ([[(c, 1.0)] for c in src] + [[("\n", 1.0)]], tgt + "\n")
+        for src, tgt in zip(noisy[:4], gt[:4])
+    ]
+    with open(tmp_path / "cm.pkl", "wb") as f:
+        pickle.dump(confmats, f)
+    # prob-line pkl: (char, prob) tuples incl. EOS
+    problines = [
+        ([(c, 0.9) for c in src + "\n"], tgt + "\n")
+        for src, tgt in zip(noisy[4:], gt[4:])
+    ]
+    with open(tmp_path / "pl.pkl", "wb") as f:
+        pickle.dump(problines, f)
+
+    r = subprocess.run(
+        [sys.executable, "jobs/run_proc.py", "--model",
+         "tests/fixtures/trained_w64_d1.npz", "--fast", "--cpus", "4",
+         "--old-suffix", ".bogus", "--new-suffix", ".cor.txt",
+         str(tmp_path / "cm.pkl"), str(tmp_path / "pl.pkl")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["files"] == 2
+    # .bogus absent → last extension stripped instead, with a warning
+    assert sorted(os.path.basename(p) for p in rep["outputs"]) == [
+        "cm.cor.txt", "pl.cor.txt"]
+    assert "does not contain suffix" in r.stderr
+    out_cm = (tmp_path / "cm.cor.txt").read_text().splitlines()
+    out_pl = (tmp_path / "pl.cor.txt").read_text().splitlines()
+    assert len(out_cm) == 4 and len(out_pl) == 4
+
+    def cer(outs, tgts):
+        return sum(1 - difflib.SequenceMatcher(None, o, t).ratio()
+                   for o, t in zip(outs, tgts)) / len(tgts)
+
+    assert cer(out_cm + out_pl, gt) < cer(noisy, gt), (out_cm + out_pl, noisy)

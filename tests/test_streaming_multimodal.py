@@ -173,3 +173,14 @@ def test_resize_and_frame_sample_plumbing(spark, sf_small):
     b = {(r.media_ref, r.frame_idx): r.frame
          for r in sample_frames(media.coalesce(1), every_ms=5000, max_frames=4).collect()}
     assert a == b
+
+    # null duration (the schema declares meta_duration_ms nullable):
+    # must yield the min-1-frame row, not a TypeError inside the UDF
+    from cor_asv_ann_spark.operators.multimodal import MEDIA_SCHEMA
+
+    null_dur = spark.createDataFrame(
+        [("v0", "d0", "video", bytearray(b"\x01\x02"), None, None, None)],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = sample_frames(null_dur, every_ms=5000, max_frames=4).collect()
+    assert len(rows) == 1 and rows[0].frame_idx == 0 and rows[0].t_ms == 0
