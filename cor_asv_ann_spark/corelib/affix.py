@@ -15,10 +15,15 @@ Driver-side parse of the tiny ``.aff`` file; the expansion itself runs
 distributed (broadcast rules, Arrow-batched UDF over the ``.dic``
 frame — see mark.lexicon_from_wordlist).
 
-Out of scope (documented, loudly ignored): continuation flags inside
-affix appendages (two-fold suffix stripping), COMPOUND* rules,
-REP/MAP/ICONV suggestion tables — none affects simple-word acceptance
-for inflection-style dictionaries.
+Two-fold stripping (hunspell "twofold suffix"): continuation flags on
+a rule's appendage ("en/AB") apply the A,B rule groups to the affixed
+form — exactly one extra expansion level, as hunspell itself allows at
+most two suffixes (suffix-suffix and suffix-then-prefix both ride
+this).
+
+Out of scope (documented, loudly ignored): COMPOUND* rules,
+REP/MAP/ICONV suggestion tables — neither affects simple-word
+acceptance for inflection-style dictionaries.
 """
 
 from __future__ import annotations
@@ -34,6 +39,8 @@ class AffixRule:
     append: str  # "" when the rule appends nothing
     cond: "re.Pattern[str] | None"  # None = "." (always matches)
     cross: bool  # Y header: may combine with the other kind
+    cont: str = ""  # raw continuation-flag field ("AB" in "en/AB"):
+    # their rule groups apply to the affixed form (two-fold stripping)
 
 
 def _cond_regex(kind: str, cond: str) -> "re.Pattern[str] | None":
@@ -92,14 +99,16 @@ def parse_aff(text: str) -> dict:
                 rules.setdefault(flag, [])
             else:
                 strip = "" if parts[2] == "0" else parts[2]
-                append = "" if parts[3] == "0" else parts[3]
-                # continuation flags on the appendage ("en/AB"): accept
-                # the surface form, ignore the two-fold flags (doc'd)
-                append = append.split("/", 1)[0]
+                # continuation flags on the appendage ("en/AB"): kept
+                # raw (split with the file's flag mode at expansion) —
+                # their rule groups apply to the affixed form
+                app, _, cont = parts[3].partition("/")
+                append = "" if app == "0" else app
                 cond = parts[4] if len(parts) > 4 else "."
                 _, cross = headers.get(flag, (kind, False))
                 rules.setdefault(flag, []).append(
-                    AffixRule(kind, strip, append, _cond_regex(kind, cond), cross)
+                    AffixRule(kind, strip, append, _cond_regex(kind, cond),
+                              cross, cont)
                 )
     return {"flag_mode": flag_mode, "rules": rules}
 
@@ -122,7 +131,8 @@ def _apply(rule: AffixRule, word: str) -> "str | None":
 
 def expand_entry(entry: str, aff: dict) -> list[str]:
     """One ``.dic`` line ("word" or "word/FLAGS") → all surface forms
-    (base + suffixed + prefixed + cross-products), deduped, base first."""
+    (base + suffixed + prefixed + cross-products + one two-fold
+    continuation level), deduped, base first."""
     word, _, flag_field = entry.partition("/")
     word = word.strip()
     if not word:
@@ -131,7 +141,8 @@ def expand_entry(entry: str, aff: dict) -> list[str]:
     if not flag_field:
         return forms
     rules = aff["rules"]
-    flags = _split_flags(flag_field.strip(), aff["flag_mode"])
+    mode = aff["flag_mode"]
+    flags = _split_flags(flag_field.strip(), mode)
     sfx = [r for f in flags for r in rules.get(f, []) if r.kind == "SFX"]
     pfx = [r for f in flags for r in rules.get(f, []) if r.kind == "PFX"]
     seen = {word}
@@ -143,14 +154,28 @@ def expand_entry(entry: str, aff: dict) -> list[str]:
             return True
         return False
 
+    def add_cont(form: "str | None", rule: AffixRule) -> None:
+        # two-fold stripping: the appendage's continuation flags apply
+        # their rule groups to the affixed form — exactly ONE extra
+        # level (hunspell allows at most two suffixes; suffix-then-
+        # prefix also arrives through a PFX continuation rule)
+        if not form or not rule.cont:
+            return
+        for f in _split_flags(rule.cont.strip(), mode):
+            for r2 in rules.get(f, []):
+                add(_apply(r2, form))
+
     for r in sfx:
         suffixed = _apply(r, word)
         add(suffixed)
+        add_cont(suffixed, r)
         if suffixed and r.cross:
             # PFX×SFX cross product (both rules must be cross=Y)
             for p in pfx:
                 if p.cross:
                     add(_apply(p, suffixed))
     for p in pfx:
-        add(_apply(p, word))
+        prefixed = _apply(p, word)
+        add(prefixed)
+        add_cont(prefixed, p)
     return forms

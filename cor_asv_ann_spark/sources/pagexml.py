@@ -1,0 +1,523 @@
+"""PAGE-XML → span-table ingest (S1/S2 front door for real reference
+users).
+
+The reference consumes PAGE-XML workspaces: it walks `Page →
+TextRegion (recursive, reading-order) → TextLine → Word → Glyph`,
+collecting per-element `TextEquiv` (Unicode, conf, alternatives) and
+injecting artificial whitespace elements — a space between words, a
+newline per line, an empty-glyph gap — marked `index=-1`
+(/root/reference/ocrd_cor_asv_ann/wrapper/transcode.py:161-234
+`_page_get_line_sequences_at`). Reading order is a recursive group
+structure flattened at transcode.py:744-763 (`page_get_reading_order`);
+`textLineOrder=bottom-to-top` reverses a region's lines
+(transcode.py:693-696) and `readingDirection=right-to-left` reverses a
+line's words and a word's glyphs (transcode.py:699-713, attributes
+inherited down the hierarchy).
+
+Spark shape: the FILE is the row grain — a ``binaryFile`` scan yields
+one row per PAGE-XML file, an Arrow batch parses it with stdlib
+ElementTree (pure Python, no lxml dependency) into the engine's
+interleaved span table (`schema.SPANS_SCHEMA`) plus the two optional
+confidence channels of `correct_pipeline`:
+
+- ``conf`` (doc_id, line_no, conf: array<float>) — per-char first-
+  TextEquiv confidence (prob-line encoding, SURVEY §1.2 enc 2);
+- ``confmat`` (CONFMAT_SCHEMA) — per element one chunk of ALL
+  TextEquiv alternatives (encoding 3, the reference flagship's
+  multi-TextEquiv input, transcode.py:236-277; empty alternatives are
+  gap-repaired to GAP exactly as transcode.py:266-273).
+
+One scan produces all three frames (`read_pagexml_channels`): the
+parsed per-doc row carries spans + line channels, and the channels are
+pure projections (posexplode) — no second read of the XML. At 100 TB
+the scan parallelizes over files (Spark's binaryFile splits at file
+grain, the natural unit here since one page is one small XML) and
+everything downstream is the ordinary span pipeline.
+
+``media_ref`` carries the element anchor the reference uses as join
+key — `@id` plus `Coords/@points` (wrapper/evaluate.py:326-337
+`_linekey`) — so corrected spans stay joinable back to the source
+geometry. Offsets are ordinal span indices (the engine's convention,
+sources/spans.py build_spans).
+"""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import CONFMAT_SCHEMA, SPANS_SCHEMA
+
+GAP = "\a"  # reference lib/seq2seq.py:11 — reserved gap-repair char
+
+_RTL = "right-to-left"
+_BTT = "bottom-to-top"
+
+
+def _local(tag) -> str:
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
+def _kids(el, name: str) -> list:
+    return [c for c in el if _local(c.tag) == name]
+
+
+def _first(el, name: str):
+    for c in el:
+        if _local(c.tag) == name:
+            return c
+    return None
+
+
+def _textequivs(el) -> list[tuple[str, float]]:
+    """Element → [(unicode, conf)] in document order (first = primary,
+    as ocrd get_TextEquiv / page_element_unicode0)."""
+    tes = []
+    for te in _kids(el, "TextEquiv"):
+        uni = _first(te, "Unicode")
+        text = uni.text if uni is not None and uni.text is not None else ""
+        conf = te.get("conf")
+        tes.append((text, float(conf) if conf is not None else 1.0))
+    return tes
+
+
+def _anchor(el) -> str | None:
+    """@id + Coords/@points — the reference's line/word join key
+    (evaluate.py:326-337)."""
+    coords = _first(el, "Coords")
+    points = coords.get("points") if coords is not None else None
+    eid = el.get("id")
+    if eid is None and points is None:
+        return None
+    return f"coords://{eid or ''}/{points or ''}"
+
+
+def _reading_order_positions(page_el) -> dict[str, int]:
+    """Flatten the ReadingOrder group tree into regionRef → position
+    (transcode.py:744-763 semantics: ordered groups sort children by
+    @index, unordered keep document order; groups recurse)."""
+    ro = _first(page_el, "ReadingOrder")
+    order: list[str] = []
+
+    def walk(group) -> None:
+        name = _local(group.tag)
+        refs = [
+            c
+            for c in group
+            if _local(c.tag)
+            in (
+                "RegionRefIndexed",
+                "OrderedGroupIndexed",
+                "UnorderedGroupIndexed",
+                "RegionRef",
+                "OrderedGroup",
+                "UnorderedGroup",
+            )
+        ]
+        if name.startswith("OrderedGroup"):
+            refs.sort(key=lambda c: int(c.get("index", "0")))
+        for c in refs:
+            rid = c.get("regionRef")
+            if rid:
+                order.append(rid)
+            if _local(c.tag) not in ("RegionRef", "RegionRefIndexed"):
+                walk(c)
+
+    if ro is not None:
+        for g in ro:
+            walk(g)
+    return {rid: i for i, rid in enumerate(order)}
+
+
+def _ordered_text_regions(parent, ro_pos: dict[str, int]) -> list:
+    """Depth-first text regions under ``parent``: siblings referenced by
+    the reading order come first in RO position, the rest keep document
+    order (get_AllRegions(classes=['Text'], order='reading-order')
+    behavior); nested TextRegions recurse after their parent."""
+    sibs = _kids(parent, "TextRegion")
+    in_ro = sorted(
+        (r for r in sibs if r.get("id") in ro_pos), key=lambda r: ro_pos[r.get("id")]
+    )
+    rest = [r for r in sibs if r.get("id") not in ro_pos]
+    out = []
+    for r in in_ro + rest:
+        out.append(r)
+        out.extend(_ordered_text_regions(r, ro_pos))
+    return out
+
+
+def parse_page_xml(
+    doc_id: str, data: bytes, level: str = "word"
+) -> dict:
+    """Pure: one PAGE-XML document → the engine's interleaved span list
+    plus per-line confidence channels.
+
+    Returns ``{"spans": [(kind, text, media_ref, offset)],
+    "line_confs": [[float per char]], "line_confmats": [[chunk]]}``
+    where chunk = [(alt, p)] over the element's TextEquiv alternatives
+    (empty alternatives gap-repaired to GAP, transcode.py:266-273).
+    Mirrors `_page_get_line_sequences_at` (transcode.py:161-234): a
+    space between word/glyph groups, a newline per line, empty lines
+    (newline only) dropped; `textLineOrder`/`readingDirection` applied
+    per transcode.py:693-713.
+    """
+    if level not in ("line", "word", "glyph"):
+        raise ValueError(f"level must be line|word|glyph, not {level!r}")
+    root = ET.fromstring(data)
+    page = root if _local(root.tag) == "Page" else _first(root, "Page")
+    if page is None:
+        return {"spans": [], "line_confs": [], "line_confmats": []}
+    ro_pos = _reading_order_positions(page)
+    page_tlo = page.get("textLineOrder")
+    page_rd = page.get("readingDirection")
+
+    # per line: list of (kind, text, media_ref, alternatives)
+    lines: list[list[tuple[str, str, str | None, list[tuple[str, float]]]]] = []
+
+    def element_entry(kind: str, el) -> tuple | None:
+        tes = _textequivs(el)
+        if not tes:
+            return None
+        alts = [(t if t else GAP, c) for t, c in tes]
+        return (kind, tes[0][0], _anchor(el), alts)
+
+    for region in _ordered_text_regions(page, ro_pos):
+        region_rd = region.get("readingDirection") or page_rd
+        tlines = _kids(region, "TextLine")
+        if (region.get("textLineOrder") or page_tlo) == _BTT:
+            tlines = list(reversed(tlines))
+        for tline in tlines:
+            line_rd = tline.get("readingDirection") or region_rd
+            seq: list[tuple] = []
+            if level == "line":
+                entry = element_entry("line", tline)
+                if entry is not None:
+                    seq.append(entry)
+            else:
+                words = _kids(tline, "Word")
+                if not words:
+                    continue  # no line at all (reference: no EOL either)
+                if line_rd == _RTL:
+                    words = list(reversed(words))
+                any_word = False
+                for word in words:
+                    if level == "word":
+                        entry = element_entry("word", word)
+                        if entry is None:
+                            continue  # no inter-word space either
+                        seq.append(entry)
+                    else:
+                        glyphs = _kids(word, "Glyph")
+                        if not glyphs:
+                            continue  # no inter-word space either
+                        if (word.get("readingDirection") or line_rd) == _RTL:
+                            glyphs = list(reversed(glyphs))
+                        for glyph in glyphs:
+                            entry = element_entry("glyph", glyph)
+                            if entry is None:
+                                # TextEquiv-less glyph = gap
+                                # (transcode.py:219-224)
+                                entry = ("glyph", "", _anchor(glyph),
+                                         [(GAP, 1.0)])
+                            seq.append(entry)
+                    any_word = True
+                    seq.append(("space", " ", None, [(" ", 1.0)]))
+                if any_word:
+                    seq.pop()  # no trailing inter-word space
+            seq.append(("newline", "\n", None, [("\n", 1.0)]))
+            if len(seq) > 1:  # drop empty lines (transcode.py:234)
+                lines.append(seq)
+
+    spans: list[tuple[str, str, str | None, int]] = []
+    line_confs: list[list[float]] = []
+    line_confmats: list[list[list[tuple[str, float]]]] = []
+    off = 0
+    for seq in lines:
+        confs: list[float] = []
+        chunks: list[list[tuple[str, float]]] = []
+        for kind, text, ref, alts in seq:
+            spans.append((kind, text, ref, off))
+            off += 1
+            confs.extend([alts[0][1]] * len(text))
+            chunks.append(alts)
+        line_confs.append(confs)
+        line_confmats.append(chunks)
+    return {"spans": spans, "line_confs": line_confs, "line_confmats": line_confmats}
+
+
+_FULL_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "line_confs array<array<float>>, line_confmats string"
+)
+
+
+def _parse_files(level: str):
+    import pandas as pd
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = path[len("file:"):] if path.startswith("file:") else path
+                doc_id = name.rsplit("/", 1)[-1]
+                for ext in (".xml", ".page"):
+                    if doc_id.endswith(ext):
+                        doc_id = doc_id[: -len(ext)]
+                parsed = parse_page_xml(doc_id, bytes(content), level=level)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": r, "offset": o}
+                            for k, t, r, o in parsed["spans"]
+                        ],
+                        "line_confs": parsed["line_confs"],
+                        # doubly-nested struct arrays trip Arrow's pandas
+                        # path (see correct_pipeline's confmat JSON note)
+                        "line_confmats": json.dumps(
+                            [
+                                [
+                                    [{"alt": a, "p": p} for a, p in chunk]
+                                    for chunk in line
+                                ]
+                                for line in parsed["line_confmats"]
+                            ]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "spans", "line_confs", "line_confmats"]
+            )
+
+    return parse
+
+
+def read_pagexml_full(
+    spark: SparkSession,
+    paths: str | list[str],
+    level: str = "word",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """One binaryFile scan → (doc_id, spans, line_confs,
+    line_confmats-json). Cache this and project the three channel
+    frames from it — the XML is parsed exactly once.
+
+    ``n_partitions`` coalesces the scan (narrow, no shuffle) before
+    parsing: binaryFile gives one split per file, and a corpus of many
+    tiny page files would otherwise schedule one task per page
+    (measured: 500 tasks for 500 × ~3 KB). Defaults to 4× parallelism,
+    floored at the scan's own count — at real scale (millions of pages
+    on 1000 executors) the default keeps every core busy while
+    amortizing task launch over ~file_count/4k pages each."""
+    df = spark.read.format("binaryFile").load(paths)
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+    df = df.coalesce(n_partitions)
+    return df.mapInPandas(_parse_files(level), schema=_FULL_SCHEMA)
+
+
+def spans_of(full: DataFrame) -> DataFrame:
+    # (no .to(SPANS_SCHEMA): it enforces non-null markers the scan
+    # cannot prove; the shape is identical)
+    return full.select("doc_id", "spans")
+
+
+def conf_channel(full: DataFrame) -> DataFrame:
+    """(doc_id, line_no, conf array<float>) — prob-line channel."""
+    return full.select(
+        "doc_id", F.posexplode("line_confs").alias("line_no", "conf")
+    ).withColumn("line_no", F.col("line_no").cast("int"))
+
+
+def confmat_channel(full: DataFrame) -> DataFrame:
+    """(doc_id, line_no, confmat) in CONFMAT_SCHEMA — alternatives
+    channel (encoding 3)."""
+    cm_type = CONFMAT_SCHEMA["confmat"].dataType
+    per_line = F.from_json(
+        "line_confmats",
+        f"array<{cm_type.simpleString()}>",
+    )
+    return full.select(
+        "doc_id", F.posexplode(per_line).alias("line_no", "confmat")
+    ).withColumn("line_no", F.col("line_no").cast("int"))
+
+
+def read_pagexml(
+    spark: SparkSession, paths: str | list[str], level: str = "word"
+) -> DataFrame:
+    """PAGE-XML files → span table (SPANS_SCHEMA)."""
+    return spans_of(read_pagexml_full(spark, paths, level=level))
+
+
+def read_pagexml_channels(
+    spark: SparkSession, paths: str | list[str], level: str = "word"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """PAGE-XML files → (spans_df, conf_df, confmat_df) from ONE parsed
+    scan (cached)."""
+    full = read_pagexml_full(spark, paths, level=level).cache()
+    return spans_of(full), conf_channel(full), confmat_channel(full)
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthetic PAGE-XML (tests + oracle fixture): text in →
+# a page exercising ReadingOrder groups, nested regions, RTL/BTT
+# direction attributes, multi-TextEquiv alternatives and glyphs — built
+# so that parsing at any level reproduces the logical text exactly.
+# --------------------------------------------------------------------------
+
+_NS = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+
+def _key_int(s: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+
+
+def synth_page_xml(doc_id: str, text: str, words_per_line: int = 7) -> bytes:
+    """Pure: document text → PAGE-XML bytes. Lines of ``words_per_line``
+    words are distributed over 2-3 regions; the XML element order of the
+    regions is rotated while a ReadingOrder OrderedGroup (with one
+    nested ordered subgroup on some docs) records the true order; some
+    docs get `readingDirection=right-to-left` (words serialized
+    reversed) or `textLineOrder=bottom-to-top` (lines serialized
+    reversed) so the parser's direction handling must undo it; ~1 in 5
+    words carries a second lower-confidence TextEquiv alternative; every
+    word also carries per-char Glyphs whose concatenation equals the
+    word, and each line a line-level TextEquiv equal to the
+    space-joined words (the reference's hierarchy-consistency
+    invariant, /root/reference/tests/test_all.py:94-104)."""
+    h = _key_int(doc_id)
+    rtl = h % 5 == 0
+    btt = h % 7 == 0
+    words = text.split()
+    lines = [
+        words[i : i + words_per_line] for i in range(0, len(words), words_per_line)
+    ]
+    n_regions = max(1, min(len(lines), 2 + h % 2))
+    # contiguous line blocks per region: reading order over regions then
+    # lines reproduces the document's line order exactly
+    per = (len(lines) + n_regions - 1) // n_regions
+    per_region: list[list[list[str]]] = [
+        lines[i * per : (i + 1) * per] for i in range(n_regions)
+    ]
+    per_region = [r for r in per_region if r]
+    n_regions = len(per_region)
+
+    def conf_of(tag: str) -> float:
+        return round(0.5 + (_key_int(f"{doc_id}:{tag}") % 50) / 100.0, 2)
+
+    E = ET.Element
+
+    def sub(parent, name, **attrs):
+        el = ET.SubElement(parent, f"{{{_NS}}}{name}")
+        for k, v in attrs.items():
+            el.set(k, str(v))
+        return el
+
+    def add_te(parent, uni: str, conf: float, index: int | None = None):
+        attrs = {"conf": f"{conf:.2f}"}
+        if index is not None:
+            attrs["index"] = str(index)
+        te = sub(parent, "TextEquiv", **attrs)
+        sub(te, "Unicode").text = uni
+
+    root = E(f"{{{_NS}}}PcGts")
+    page = sub(root, "Page", imageFilename=f"{doc_id}.png",
+               imageWidth=1000, imageHeight=1400)
+    if rtl:
+        page.set("readingDirection", _RTL)
+    if btt:
+        page.set("textLineOrder", _BTT)
+    ro = sub(page, "ReadingOrder")
+    og = sub(ro, "OrderedGroup", id=f"ro_{doc_id}")
+    region_ids = [f"r{doc_id}_{i}" for i in range(n_regions)]
+    if n_regions >= 3 and h % 3 == 0:
+        # nested ordered subgroup for the last two regions
+        sub(og, "RegionRefIndexed", index=0, regionRef=region_ids[0])
+        sug = sub(og, "OrderedGroupIndexed", index=1, id=f"ro_{doc_id}_sub")
+        for j, rid in enumerate(region_ids[1:]):
+            sub(sug, "RegionRefIndexed", index=j, regionRef=rid)
+    else:
+        for i, rid in enumerate(region_ids):
+            sub(og, "RegionRefIndexed", index=i, regionRef=rid)
+
+    # serialize regions rotated: XML document order != reading order
+    rot = h % n_regions if n_regions else 0
+    order = list(range(rot, n_regions)) + list(range(0, rot))
+    for ri in order:
+        region = sub(page, "TextRegion", id=region_ids[ri])
+        coords = sub(region, "Coords")
+        coords.set("points", f"0,{ri * 400} 1000,{ri * 400 + 380}")
+        rlines = per_region[ri]
+        serialized = list(reversed(rlines)) if btt else rlines
+        for li_s, ln_words in enumerate(serialized):
+            li = len(serialized) - 1 - li_s if btt else li_s
+            lid = f"{region_ids[ri]}_l{li}"
+            tline = sub(region, "TextLine", id=lid)
+            sub(tline, "Coords", points=f"0,{li * 40} 1000,{li * 40 + 38}")
+            ser_words = list(reversed(ln_words)) if rtl else ln_words
+            for wi_s, w in enumerate(ser_words):
+                wi = len(ser_words) - 1 - wi_s if rtl else wi_s
+                wid = f"{lid}_w{wi}"
+                word = sub(tline, "Word", id=wid)
+                sub(word, "Coords", points=f"{wi * 100},0 {wi * 100 + 90},38")
+                gl_chars = list(reversed(w)) if rtl else list(w)
+                for gi_s, ch in enumerate(gl_chars):
+                    gi = len(gl_chars) - 1 - gi_s if rtl else gi_s
+                    glyph = sub(word, "Glyph", id=f"{wid}_g{gi}")
+                    add_te(glyph, ch, conf_of(f"{wid}:g{gi}"), index=0)
+                wconf = conf_of(wid)
+                add_te(word, w, wconf, index=0)
+                if _key_int(wid) % 5 == 0:
+                    # second, lower-confidence alternative
+                    alt = w.swapcase() if w.swapcase() != w else w + "~"
+                    add_te(word, alt, round(max(0.05, wconf - 0.3), 2), index=1)
+            add_te(tline, " ".join(ln_words),
+                   conf_of(lid), index=0)
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
+def synth_pagexml_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str, noisy: bool = False,
+    words_per_line: int = 7,
+) -> int:
+    """Materialize a deterministic PAGE-XML corpus (one file per
+    document of the sf documents table, same text source as
+    synth_spans) under ``out_dir``. Distributed write: each task writes
+    its partition's files. Returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def write_part(batches):
+        import pandas as pd
+
+        from ..corelib.noise import degrade_reversible
+
+        n = 0
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
+                if noisy:
+                    text = " ".join(
+                        degrade_reversible(w, f"{doc_id}:w{i}")
+                        for i, w in enumerate(text.split())
+                    )
+                data = synth_page_xml(doc_id, text, words_per_line)
+                with open(os.path.join(out_dir, f"{doc_id}.xml"), "wb") as f:
+                    f.write(data)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    parts = docs.mapInPandas(write_part, schema="n long")
+    return sum(r.n for r in parts.collect())

@@ -1,0 +1,257 @@
+"""PAGE-XML ingest (sources/pagexml.py): parser parity with the
+reference's hierarchy walk (transcode.py:161-234), reading-order
+flatten (744-763), RTL/BTT direction handling (693-713), and the
+hierarchy-consistency invariant of the reference's own test suite
+(/root/reference/tests/test_all.py:94-104: word-level text results
+concatenate to the line-level text result)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from cor_asv_ann_spark.sources.pagexml import (
+    GAP,
+    parse_page_xml,
+    synth_page_xml,
+)
+
+BASE = (
+    "the quick brown fox jumps over a lazy dog near the old mill by the "
+    "river bank today and then some more words to force three regions in "
+    "larger documents with many lines of content here"
+)
+
+
+def _expected_lines(text: str, wpl: int = 7) -> list[str]:
+    ws = text.split()
+    return [" ".join(ws[i : i + wpl]) for i in range(0, len(ws), wpl)]
+
+
+def test_parse_roundtrip_pure():
+    """Synth → parse reproduces the logical text at every hierarchy
+    level across 40 deterministic direction/reading-order variants
+    (RTL, BTT, nested ordered subgroups, rotated region serialization);
+    conf aligns per char, confmat first-alternatives concat to the line
+    (transcode.py:236-277 shape), offsets are dense ordinals."""
+    n_rtl = n_btt = 0
+    for did in map(str, range(40)):
+        xml = synth_page_xml(did, BASE)
+        n_rtl += b"right-to-left" in xml
+        n_btt += b"bottom-to-top" in xml
+        want = "\n".join(_expected_lines(BASE)) + "\n"
+        for level in ("word", "glyph", "line"):
+            p = parse_page_xml(did, xml, level=level)
+            joined = "".join(t for _, t, _, _ in p["spans"])
+            assert joined == want, (did, level)
+            assert [o for *_, o in p["spans"]] == list(range(len(p["spans"])))
+        p = parse_page_xml(did, xml, level="word")
+        for line_text, confs, chunks in zip(
+            want.split("\n")[:-1], p["line_confs"], p["line_confmats"]
+        ):
+            assert len(confs) == len(line_text) + 1  # incl. newline
+            assert "".join(ch[0][0] for ch in chunks) == line_text + "\n"
+            assert all(0.0 < c <= 1.0 for c in confs)
+    # the hash-keyed variants actually occur
+    assert n_rtl > 0 and n_btt > 0
+    # and multi-TextEquiv alternatives too
+    p = parse_page_xml("0", synth_page_xml("0", BASE), level="word")
+    assert any(len(ch) > 1 for line in p["line_confmats"] for ch in line)
+
+
+def test_parse_handcrafted_edge_cases():
+    """Hand-written PAGE-XML pinning the walk edge cases: shuffled
+    document order vs ReadingOrder, a TextEquiv-less word (skipped, no
+    inter-word space — transcode.py:203-207), a TextEquiv-less glyph
+    (gap repair to GAP with conf 1.0 — transcode.py:219-224 + 266-273),
+    an empty line (dropped — transcode.py:234), and a region absent
+    from the ReadingOrder (appended in document order)."""
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    xml = f"""<?xml version="1.0"?>
+<PcGts xmlns="{ns}"><Page imageFilename="p.png">
+  <ReadingOrder><OrderedGroup id="g">
+    <RegionRefIndexed index="1" regionRef="rB"/>
+    <RegionRefIndexed index="0" regionRef="rA"/>
+  </OrderedGroup></ReadingOrder>
+  <TextRegion id="rB"><Coords points="0,100 10,110"/>
+    <TextLine id="lB"><Coords points="0,100 10,105"/>
+      <Word id="wB1"><TextEquiv conf="0.8"><Unicode>second</Unicode></TextEquiv></Word>
+      <Word id="wB2"><!-- no TextEquiv: skipped, no space --></Word>
+      <Word id="wB3"><TextEquiv conf="0.6"><Unicode>region</Unicode></TextEquiv></Word>
+      <TextEquiv conf="0.7"><Unicode>second region</Unicode></TextEquiv>
+    </TextLine>
+    <TextLine id="lEmpty"><!-- no words: dropped entirely --></TextLine>
+  </TextRegion>
+  <TextRegion id="rA"><Coords points="0,0 10,10"/>
+    <TextLine id="lA">
+      <Word id="wA1"><TextEquiv conf="0.9"><Unicode>first</Unicode></TextEquiv></Word>
+      <TextEquiv conf="0.9"><Unicode>first</Unicode></TextEquiv>
+    </TextLine>
+  </TextRegion>
+  <TextRegion id="rC"><!-- not in ReadingOrder: appended last -->
+    <TextLine id="lC">
+      <Word id="wC1"><TextEquiv><Unicode>tail</Unicode></TextEquiv></Word>
+    </TextLine>
+  </TextRegion>
+</Page></PcGts>"""
+    p = parse_page_xml("doc", xml.encode(), level="word")
+    texts = [(k, t) for k, t, _, _ in p["spans"]]
+    assert texts == [
+        ("word", "first"), ("newline", "\n"),
+        ("word", "second"), ("space", " "), ("word", "region"), ("newline", "\n"),
+        ("word", "tail"), ("newline", "\n"),
+    ]
+    # conf defaults to 1.0 when the attribute is absent (wC1)
+    assert p["line_confs"][2] == [1.0] * 5
+    # line level: the empty line is dropped, and lC (no line-level
+    # TextEquiv) reduces to a bare newline → dropped too
+    pl = parse_page_xml("doc", xml.encode(), level="line")
+    assert [(k, t) for k, t, _, _ in pl["spans"]] == [
+        ("line", "first"), ("newline", "\n"),
+        ("line", "second region"), ("newline", "\n")]
+    refs = [r for k, _, r, _ in pl["spans"] if k == "line"]
+    assert refs[0] is None or "lA" in refs[0]  # id-based anchor
+    # glyph gap repair
+    gxml = f"""<?xml version="1.0"?>
+<PcGts xmlns="{ns}"><Page>
+  <TextRegion id="r"><TextLine id="l">
+    <Word id="w">
+      <Glyph id="g1"><TextEquiv conf="0.5"><Unicode>a</Unicode></TextEquiv></Glyph>
+      <Glyph id="g2"><!-- TextEquiv-less: gap --></Glyph>
+      <Glyph id="g3"><TextEquiv conf="0.5"><Unicode>b</Unicode></TextEquiv></Glyph>
+    </Word>
+  </TextLine></TextRegion>
+</Page></PcGts>"""
+    pg = parse_page_xml("doc", gxml.encode(), level="glyph")
+    assert [(k, t) for k, t, _, _ in pg["spans"]] == [
+        ("glyph", "a"), ("glyph", ""), ("glyph", "b"), ("newline", "\n")]
+    # the gap chunk carries GAP with conf 1.0 (transcode gap repair)
+    assert pg["line_confmats"][0][1] == [(GAP, 1.0)]
+
+
+def test_parse_direction_attrs_explicit():
+    """readingDirection/textLineOrder undo the serialized reversal:
+    RTL words (and glyphs within words) and BTT lines come back in
+    logical order — the attribute inherits page → region → line →
+    word exactly as transcode.py:693-713 chains the getters."""
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    xml = f"""<?xml version="1.0"?>
+<PcGts xmlns="{ns}"><Page readingDirection="right-to-left" textLineOrder="bottom-to-top">
+  <TextRegion id="r">
+    <TextLine id="l2">
+      <Word id="w3"><TextEquiv><Unicode>w3</Unicode></TextEquiv></Word>
+    </TextLine>
+    <TextLine id="l1">
+      <Word id="w2"><TextEquiv><Unicode>w2</Unicode></TextEquiv></Word>
+      <Word id="w1"><TextEquiv><Unicode>w1</Unicode></TextEquiv></Word>
+    </TextLine>
+  </TextRegion>
+</Page></PcGts>"""
+    p = parse_page_xml("d", xml.encode(), level="word")
+    assert "".join(t for _, t, _, _ in p["spans"]) == "w1 w2\nw3\n"
+    # a line-level override back to left-to-right wins over the page
+    xml2 = xml.replace('<TextLine id="l1">',
+                       '<TextLine id="l1" readingDirection="left-to-right">')
+    p2 = parse_page_xml("d", xml2.encode(), level="word")
+    assert "".join(t for _, t, _, _ in p2["spans"]) == "w2 w1\nw3\n"
+
+
+def test_pagexml_spark_channels_and_pipeline(spark, tmp_path, sf_small):
+    """Distributed corpus round trip: synth PAGE-XML corpus from the
+    documents table → one scan → (spans, conf, confmat) channels; the
+    reassembled lines equal the document text split at the line grain
+    (for EVERY doc), conf aligns per char, and the confmat channel
+    drives correct_pipeline's argmax corrector back to exactly the
+    primary text (alternatives are strictly lower-confidence)."""
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        confmat_argmax_corrector,
+        correct_pipeline,
+        spans_with_line_no,
+    )
+    from cor_asv_ann_spark.sources.pagexml import (
+        read_pagexml_channels,
+        synth_pagexml_corpus,
+    )
+
+    out = str(tmp_path / "pages")
+    n = synth_pagexml_corpus(spark, sf_small, out, noisy=False)
+    assert n == spark.read.parquet(f"{sf_small}/documents.parquet").count()
+
+    spans, conf, cm = read_pagexml_channels(spark, f"{out}/*.xml", level="word")
+    got = {
+        (r.doc_id, r.line_no): r.t
+        for r in assemble_lines(spans_with_line_no(spans))
+        .select("doc_id", "line_no", F.concat_ws("", "texts").alias("t"))
+        .collect()
+    }
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    want = {
+        (str(d.doc_id), i): line + "\n"
+        for d in docs
+        for i, line in enumerate(_expected_lines(d.text))
+    }
+    assert got == want
+
+    # conf channel: per-char alignment for every line
+    for r in conf.collect():
+        assert len(r.conf) == len(want[(r.doc_id, r.line_no)])
+
+    # confmat channel through the pipeline: argmax == primary text
+    corrected = correct_pipeline(
+        spans, corrector=confmat_argmax_corrector, confmat_df=cm
+    )
+    got_c = {
+        (r.doc_id, r.line_no): r.t
+        for r in spans_with_line_no(corrected)
+        .groupBy("doc_id", "line_no")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list(
+            F.struct("offset", "text"))).getField("text")).alias("t"))
+        .collect()
+    }
+    assert got_c == want
+
+
+def test_page_to_spans_tool(tmp_path):
+    """The CLI converter end-to-end: PAGE-XML files in, spans + channel
+    parquet out, readable with the engine's schema."""
+    import duckdb
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for did in map(str, range(12)):
+        (pages / f"{did}.xml").write_bytes(synth_page_xml(did, BASE))
+    r = subprocess.run(
+        [sys.executable, "tools/page_to_spans.py", "--cpus", "4",
+         "--out", str(tmp_path / "spans_pq"),
+         "--confmat-out", str(tmp_path / "cm_pq"),
+         "--conf-out", str(tmp_path / "conf_pq"),
+         str(pages)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["docs"] == 12
+    con = duckdb.connect()
+    n_lines = len(_expected_lines(BASE))
+    assert con.sql(
+        f"select count(*) from read_parquet('{tmp_path}/spans_pq/*.parquet')"
+    ).fetchone()[0] == 12
+    for ch in ("cm_pq", "conf_pq"):
+        assert con.sql(
+            f"select count(*) from read_parquet('{tmp_path}/{ch}/*.parquet')"
+        ).fetchone()[0] == 12 * n_lines
+    # spans unnest: per-doc text equals the logical text (DuckDB view —
+    # the same files any external engine would read)
+    got = con.sql(
+        f"""select doc_id, string_agg(u.s.text, '' order by u.s.offset) t
+            from read_parquet('{tmp_path}/spans_pq/*.parquet'), unnest(spans) u(s)
+            group by doc_id"""
+    ).df()
+    want = "\n".join(_expected_lines(BASE)) + "\n"
+    assert all(t == want for t in got["t"])

@@ -226,10 +226,80 @@ def test_affix_expansion_unit():
     # FLAG num mode
     aff_num = parse_aff("FLAG num\nSFX 101 Y 1\nSFX 101 0 s .\n")
     assert expand_entry("car/101,9", aff_num) == ["car", "cars"]
-    # continuation flags on the appendage: surface form kept, two-fold
-    # flags ignored
+    # continuation flags whose groups have no rules: surface form kept
     aff_cont = parse_aff("SFX B Y 1\nSFX B 0 en/XY .\n")
     assert expand_entry("tief/B", aff_cont) == ["tief", "tiefen"]
+
+
+def test_affix_twofold_continuation():
+    """Two-fold stripping (VERDICT r4 #2): continuation flags on the
+    appendage ("en/C") apply their rule groups to the affixed form —
+    one extra level, suffix-suffix and prefix-continuation both, no
+    deeper recursion (hunspell allows at most two suffixes)."""
+    from cor_asv_ann_spark.corelib.affix import expand_entry, parse_aff
+
+    aff = parse_aff(
+        "SFX B Y 1\n"
+        "SFX B 0 en/C .\n"
+        "SFX C Y 1\n"
+        "SFX C 0 s .\n"
+        "PFX U Y 1\n"
+        "PFX U 0 un/D .\n"
+        "SFX D Y 1\n"
+        "SFX D 0 lich .\n"
+    )
+    assert expand_entry("tief/B", aff) == ["tief", "tiefen", "tiefens"]
+    # continuation of a PREFIX rule applies to the prefixed form
+    assert expand_entry("klar/U", aff) == ["klar", "unklar", "unklarlich"]
+    # exactly one extra level: the continuation rule's own continuation
+    # flags do not recurse further
+    aff2 = parse_aff(
+        "SFX B Y 1\nSFX B 0 en/C .\nSFX C Y 1\nSFX C 0 s/B .\n"
+    )
+    assert expand_entry("tief/B", aff2) == ["tief", "tiefen", "tiefens"]
+    # continuation rule conditions are evaluated against the AFFIXED
+    # form, not the base word
+    aff3 = parse_aff(
+        "SFX B Y 1\nSFX B 0 en/C .\nSFX C Y 1\nSFX C 0 x n\n"
+    )
+    # 'tiefen' ends in n → C applies; base 'tief' would not have
+    assert expand_entry("tief/B", aff3) == ["tief", "tiefen", "tiefenx"]
+    # two-fold in long flag mode
+    aff_long = parse_aff(
+        "FLAG long\nSFX Aa Y 1\nSFX Aa 0 en/BbCc .\n"
+        "SFX Bb Y 1\nSFX Bb 0 s .\nSFX Cc Y 1\nSFX Cc 0 d .\n"
+    )
+    assert expand_entry("tief/Aa", aff_long) == [
+        "tief", "tiefen", "tiefens", "tiefend"]
+
+
+def test_affix_twofold_property():
+    """Property (VERDICT r4 #2): for unconditional append-only rules,
+    the expansion of word/Q with Q appending a1 and continuing into R
+    appending a2 is exactly the dedup of [w, w+a1, w+a1+a2] — checked
+    against an independent string-concat oracle."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cor_asv_ann_spark.corelib.affix import expand_entry, parse_aff
+
+    letters = st.text(alphabet="abcdes", min_size=1, max_size=4)
+
+    @settings(max_examples=100, deadline=None)
+    @given(word=st.text(alphabet="abcdes", min_size=1, max_size=8),
+           a1=letters, a2=letters)
+    def check(word, a1, a2):
+        aff = parse_aff(
+            f"SFX Q Y 1\nSFX Q 0 {a1}/R .\nSFX R Y 1\nSFX R 0 {a2} .\n"
+        )
+        forms = expand_entry(f"{word}/Q", aff)
+        expected = []
+        for w in (word, word + a1, word + a1 + a2):
+            if w not in expected:
+                expected.append(w)
+        assert forms == expected
+
+    check()
 
 
 def test_mark_with_affix_expanded_lexicon(spark, tmp_path):
