@@ -313,7 +313,7 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def _cap_stress(spark) -> dict:
+def _cap_stress(spark, sf_dir: str | None = None) -> dict:
     """Exercise the bucket-cap machinery where it actually DROPS
     (VERDICT r3 #6 — all suite cap_drops are 0 at sf0.1, so the
     accounting was untested under fire): run embedding_near_dups with
@@ -328,7 +328,7 @@ def _cap_stress(spark) -> dict:
 
     from cor_asv_ann_spark.operators.dedup import embedding_near_dups
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir or SF_DIR}/embeddings.parquet")
     kw = dict(threshold=0.25, n_bands=8, n_bits=2, portable=False)
     full = {
         (r.id_a, r.id_b)
