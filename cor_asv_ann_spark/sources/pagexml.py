@@ -314,7 +314,7 @@ def read_pagexml_full(
     floored at the scan's own count — at real scale (millions of pages
     on 1000 executors) the default keeps every core busy while
     amortizing task launch over ~file_count/4k pages each."""
-    df = spark.read.format("binaryFile").load(paths)
+    df = spark.read.format("binaryFile").load(paths).select("path", "content")
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
     df = df.coalesce(n_partitions)
@@ -520,4 +520,159 @@ def synth_pagexml_corpus(
         yield pd.DataFrame({"n": [n]})
 
     parts = docs.mapInPandas(write_part, schema="n long")
+    return sum(r.n for r in parts.collect())
+
+
+# --------------------------------------------------------------------------
+# Output side: spans → PAGE-XML (the reference's processors EMIT corrected
+# PAGE-XML — wrapper/transcode.py writes corrected TextEquivs back into
+# the page DOM, keeping geometry constant, transcode.py:550-628; this is
+# the sink a reference user needs to feed corrected output back into an
+# OCR-D workflow).
+# --------------------------------------------------------------------------
+
+
+def _anchor_parts(media_ref: str | None) -> tuple[str | None, str | None]:
+    """Invert _anchor: 'coords://{id}/{points}' → (id, points)."""
+    if not media_ref or not media_ref.startswith("coords://"):
+        return None, None
+    rest = media_ref[len("coords://"):]
+    eid, _, points = rest.partition("/")
+    return eid or None, points or None
+
+
+def render_page_xml(
+    doc_id: str,
+    spans: list[tuple[str, str, str | None, int]],
+    confs: list[float] | None = None,
+    image_filename: str | None = None,
+) -> bytes:
+    """Ordered span list → PAGE-XML bytes (one TextRegion; lines split
+    at newline spans; word/glyph spans regrouped into Word/Glyph
+    elements with artificial space spans dropped — they are implicit in
+    PAGE; 'line'-kind spans become line-level TextEquiv only). Element
+    ids and Coords are recovered from ``coords://`` anchors when
+    present, else synthesized; ``confs`` (one float per span, e.g. the
+    pipeline's out_confs) become TextEquiv/@conf. Line-level TextEquiv
+    is the concatenation of the line's span texts — the reference's
+    hierarchy-consistency contract (page_update_higher_textequiv_levels,
+    transcode.py:630-763)."""
+    E = ET.Element
+
+    def sub(parent, name, **attrs):
+        el = ET.SubElement(parent, f"{{{_NS}}}{name}")
+        for k, v in attrs.items():
+            el.set(k, str(v))
+        return el
+
+    def add_te(parent, uni: str, conf: float):
+        te = sub(parent, "TextEquiv", conf=f"{conf:.4f}")
+        sub(te, "Unicode").text = uni
+
+    def add_coords(parent, points: str | None):
+        if points:
+            sub(parent, "Coords", points=points)
+
+    root = E(f"{{{_NS}}}PcGts")
+    page = sub(root, "Page",
+               imageFilename=image_filename or f"{doc_id}.png")
+    region = sub(page, "TextRegion", id=f"{doc_id}_r0")
+
+    # split into lines at newline spans (a trailing open line counts)
+    lines: list[list[tuple[str, str, str | None, float]]] = [[]]
+    for i, (kind, text, ref, _off) in enumerate(spans):
+        conf = float(confs[i]) if confs is not None and i < len(confs) else 1.0
+        if kind == "newline":
+            lines.append([])
+        else:
+            lines[-1].append((kind, text, ref, conf))
+    if not lines[-1]:
+        lines.pop()
+
+    for li, line_spans in enumerate(lines):
+        if not line_spans:
+            continue
+        first_ref = next((r for _, _, r, _ in line_spans if r), None)
+        lid, lpoints = _anchor_parts(first_ref)
+        tline = sub(region, "TextLine", id=f"{doc_id}_l{li}")
+        line_parts: list[str] = []
+        # regroup word/glyph spans into Word (consecutive glyphs up to
+        # a space form one word — the inverse of the parser's walk)
+        wi = 0
+        cur_glyphs: list[tuple[str, str | None, float]] = []
+
+        def flush_glyph_word():
+            nonlocal wi, cur_glyphs
+            if not cur_glyphs:
+                return
+            word = sub(tline, "Word", id=f"{doc_id}_l{li}_w{wi}")
+            gid0, gpoints0 = _anchor_parts(cur_glyphs[0][1])
+            add_coords(word, gpoints0)
+            for gi, (gtext, gref, gconf) in enumerate(cur_glyphs):
+                glyph = sub(word, "Glyph", id=f"{doc_id}_l{li}_w{wi}_g{gi}")
+                _, gp = _anchor_parts(gref)
+                add_coords(glyph, gp)
+                add_te(glyph, gtext, gconf)
+            wtext = "".join(g[0] for g in cur_glyphs)
+            wconf = sum(g[2] for g in cur_glyphs) / len(cur_glyphs)
+            add_te(word, wtext, wconf)
+            wi += 1
+            cur_glyphs = []
+
+        for kind, text, ref, conf in line_spans:
+            if kind == "glyph":
+                cur_glyphs.append((text, ref, conf))
+                line_parts.append(text)
+            elif kind == "word":
+                flush_glyph_word()
+                _, wpoints = _anchor_parts(ref)
+                word = sub(tline, "Word", id=f"{doc_id}_l{li}_w{wi}")
+                add_coords(word, wpoints)
+                add_te(word, text, conf)
+                wi += 1
+                line_parts.append(text)
+            elif kind == "space":
+                flush_glyph_word()
+                line_parts.append(text)
+            elif kind == "line":
+                line_parts.append(text)
+            # media spans carry no text: dropped from the page DOM
+        flush_glyph_word()
+        add_coords(tline, lpoints)
+        line_confs_ = [c for _, _, _, c in line_spans] or [1.0]
+        add_te(tline, "".join(line_parts),
+               sum(line_confs_) / len(line_confs_))
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
+def write_pagexml_corpus(
+    spans_df: DataFrame, out_dir: str, confs_df: DataFrame | None = None
+) -> int:
+    """Distributed span-table → PAGE-XML writer: one file per doc under
+    ``out_dir`` (each task writes its partition's files — the same
+    shared-filesystem discipline as synth_pagexml_corpus). Returns the
+    number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                spans = [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in row["spans"]
+                ]
+                data = render_page_xml(str(row["doc_id"]), spans)
+                with open(
+                    os.path.join(out_dir, f"{row['doc_id']}.xml"), "wb"
+                ) as f:
+                    f.write(data)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    parts = spans_df.mapInPandas(write_part, schema="n long")
     return sum(r.n for r in parts.collect())

