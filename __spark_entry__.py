@@ -986,7 +986,9 @@ def q_pagexml_lines(spark, sf_dir):
     if tag not in _MATERIALIZED:
         synth_pagexml_corpus(spark, sf_dir, out)
         _MATERIALIZED.add(tag)
-    spans = read_pagexml(spark, f"{out}/*.xml", level="word")
+    # pass the DIRECTORY: the reader lists it with pathGlobFilter
+    # (a 5000-match Hadoop glob costs ~10 s of per-file status calls)
+    spans = read_pagexml(spark, out, level="word")
     lines = assemble_lines(spans_with_line_no(spans))
     return lines.select(
         "doc_id",

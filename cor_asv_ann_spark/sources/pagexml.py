@@ -313,8 +313,35 @@ def read_pagexml_full(
     (measured: 500 tasks for 500 × ~3 KB). Defaults to 4× parallelism,
     floored at the scan's own count — at real scale (millions of pages
     on 1000 executors) the default keeps every core busy while
-    amortizing task launch over ~file_count/4k pages each."""
-    df = spark.read.format("binaryFile").load(paths).select("path", "content")
+    amortizing task launch over ~file_count/4k pages each.
+
+    Paths that are a single-directory glob ("dir/*.xml") or a bare
+    directory are rewritten to a directory listing with
+    ``pathGlobFilter``: Hadoop's glob expansion does a per-match
+    status round trip (measured 10.5 s vs 0.45 s for 5000 local
+    files — and on an object store each round trip is a network
+    call)."""
+    import os
+    import re
+
+    def _norm(p: str) -> tuple[str, str | None]:
+        m = re.match(r"^(?P<dir>[^*?\[\]]+)/(?P<pat>\*[^/]*)$", p)
+        if m:
+            return m.group("dir"), m.group("pat")
+        if "*" not in p and "?" not in p and os.path.isdir(p):
+            return p, "*.xml"
+        return p, None
+
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    normed = [_norm(p) for p in path_list]
+    pats = {pat for _, pat in normed}
+    if len(pats) == 1 and next(iter(pats)) is not None:
+        reader = spark.read.format("binaryFile").option(
+            "pathGlobFilter", next(iter(pats)))
+        df = reader.load([d for d, _ in normed])
+    else:
+        df = spark.read.format("binaryFile").load(path_list)
+    df = df.select("path", "content")
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
     df = df.coalesce(n_partitions)

@@ -26,8 +26,18 @@ sys.path.insert(0, ".")  # --py-files puts the package on the path in cluster mo
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="spans parquet/Iceberg path")
+    ap.add_argument("--pagexml-in",
+                    help="PAGE-XML workspace (dir or glob) as input instead "
+                         "of a spans table — the reference processor's own "
+                         "input format (sources/pagexml.py ingest)")
+    ap.add_argument("--level", default="word", choices=["line", "word", "glyph"],
+                    help="hierarchy grain for --pagexml-in "
+                         "(reference textequiv_level)")
     ap.add_argument("--sf-dir", help="synthesize noisy spans from this testdata dir")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--pagexml-out",
+                    help="also write corrected PAGE-XML files to this dir "
+                         "(the reference processor's output format)")
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--buckets", type=int, default=8)
@@ -47,10 +57,18 @@ def main() -> None:
     spark = build_session(app=f"correction-{args.run_id}", cpus=args.cpus)
     if args.input:
         spans = read_spans(spark, args.input)
+    elif args.pagexml_in:
+        import os
+
+        from cor_asv_ann_spark.sources.pagexml import read_pagexml
+
+        pat = (os.path.join(args.pagexml_in, "*.xml")
+               if os.path.isdir(args.pagexml_in) else args.pagexml_in)
+        spans = read_pagexml(spark, pat, level=args.level)
     elif args.sf_dir:
         spans = synth_spans(spark, args.sf_dir, noisy=True)
     else:
-        ap.error("one of --input / --sf-dir is required")
+        ap.error("one of --input / --pagexml-in / --sf-dir is required")
 
     corrector = None
     if args.model:
@@ -85,6 +103,12 @@ def main() -> None:
         corrector=corrector,
         stateful_correct_docs=stateful_docs,
     )
+    if args.pagexml_out:
+        from cor_asv_ann_spark.sources.pagexml import write_pagexml_corpus
+        from cor_asv_ann_spark.sources.spans import read_spans as _rs
+
+        summary["pagexml_out"] = write_pagexml_corpus(
+            _rs(spark, args.output), args.pagexml_out)
     lineage = spark.read.parquet(args.lineage)
     from pyspark.sql import functions as F
 

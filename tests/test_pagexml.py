@@ -334,3 +334,34 @@ def test_pagexml_full_cycle_correct(spark, tmp_path):
         got = "".join(t for _, t, _, _ in p["spans"])
         want = "\n".join(_expected_lines(docs[did])) + "\n"
         assert got == want, did
+
+
+def test_run_correction_pagexml_front_door(tmp_path):
+    """ocrd-cor-asv-ann-process workflow parity in ONE spark-submit
+    command: run_correction --pagexml-in (workspace of page files) →
+    resumable bucketed correction → --pagexml-out (corrected page
+    files). The clean-text fixture passes the rule corrector unchanged,
+    so output pages must parse back to exactly the input text."""
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for did in map(str, range(12)):
+        (pages / f"{did}.xml").write_bytes(synth_page_xml(did, BASE))
+    r = subprocess.run(
+        [sys.executable, "jobs/run_correction.py",
+         "--pagexml-in", str(pages), "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lineage"), "--run-id", "px",
+         "--buckets", "2", "--cpus", "4",
+         "--pagexml-out", str(tmp_path / "pages_out")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["n_docs"] == 12 and rep["pagexml_out"] == 12
+    from cor_asv_ann_spark.sources.pagexml import parse_page_xml
+
+    want = "\n".join(_expected_lines(BASE)) + "\n"
+    outs = sorted((tmp_path / "pages_out").glob("*.xml"))
+    assert len(outs) == 12
+    for f in outs:
+        p = parse_page_xml(f.stem, f.read_bytes(), level="word")
+        assert "".join(t for _, t, _, _ in p["spans"]) == want, f.name

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 sys.path.insert(0, ".")
@@ -43,9 +42,9 @@ def main() -> None:
     from cor_asv_ann_spark.session import build_session
     from cor_asv_ann_spark.sources.pagexml import read_pagexml_full, spans_of
 
-    paths = []
-    for p in args.inputs:
-        paths.append(os.path.join(p, "*.xml") if os.path.isdir(p) else p)
+    # directories pass through as-is: the reader lists them with
+    # pathGlobFilter (*.xml), avoiding Hadoop's per-match glob cost
+    paths = list(args.inputs)
 
     spark = build_session(app="page_to_spans", cpus=args.cpus)
     full = read_pagexml_full(spark, paths, level=args.level)
