@@ -51,12 +51,16 @@ def run_resumable(
     n_buckets: int = 8,
     corrector=None,
     stateful_correct_docs=None,
+    confmat_df: DataFrame | None = None,
 ) -> dict:
     """Correct ``spans_df`` bucket-by-bucket with resume. Returns summary
     metrics. Output lands under ``out_dir/bucket=<b>/``.
     ``stateful_correct_docs`` routes the correction stage through the
     doc-sequential stateful path (state carried across a document's
-    lines — correction.correct_lines_stateful)."""
+    lines — correction.correct_lines_stateful). ``confmat_df``
+    (CONFMAT_SCHEMA) is the confusion-network channel — bucketed by the
+    same doc_id salt and joined onto the line frame exactly as
+    correct_pipeline does (shipped across the UDF boundary as JSON)."""
     from .operators.correction import (
         assemble_lines,
         correct_lines,
@@ -86,6 +90,11 @@ def run_resumable(
         obs_lines = Observation()
         obs_docs = Observation()
         line_frame = assemble_lines(spans_with_line_no(bucketed))
+        if confmat_df is not None:
+            cm_b = confmat_df.filter(
+                salt_bucket(F.col("doc_id"), n_buckets) == b
+            ).withColumn("confmat", F.to_json("confmat"))
+            line_frame = line_frame.join(cm_b, ["doc_id", "line_no"], "left")
         if stateful_correct_docs is not None:
             corrected = correct_lines_stateful(line_frame, stateful_correct_docs)
         else:

@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--level", default="word", choices=["line", "word", "glyph"],
                     help="hierarchy grain for --pagexml-in "
                          "(reference textequiv_level)")
+    ap.add_argument("--confmat", action="store_true",
+                    help="with --pagexml-in: feed multi-TextEquiv "
+                         "alternatives through the confusion-network "
+                         "channel (encoding 3 — the reference flagship's "
+                         "input; argmax rule corrector without --model, "
+                         "model confmat decode with it)")
     ap.add_argument("--sf-dir", help="synthesize noisy spans from this testdata dir")
     ap.add_argument("--output", required=True)
     ap.add_argument("--pagexml-out",
@@ -58,18 +64,22 @@ def main() -> None:
     if args.input:
         spans = read_spans(spark, args.input)
     elif args.pagexml_in:
-        import os
+        from cor_asv_ann_spark.sources.pagexml import (
+            read_pagexml,
+            read_pagexml_channels,
+        )
 
-        from cor_asv_ann_spark.sources.pagexml import read_pagexml
-
-        pat = (os.path.join(args.pagexml_in, "*.xml")
-               if os.path.isdir(args.pagexml_in) else args.pagexml_in)
-        spans = read_pagexml(spark, pat, level=args.level)
+        if args.confmat:
+            spans, _conf, confmat_df = read_pagexml_channels(
+                spark, args.pagexml_in, level=args.level)
+        else:
+            spans = read_pagexml(spark, args.pagexml_in, level=args.level)
     elif args.sf_dir:
         spans = synth_spans(spark, args.sf_dir, noisy=True)
     else:
         ap.error("one of --input / --pagexml-in / --sf-dir is required")
 
+    use_confmat = bool(args.confmat and args.pagexml_in)
     corrector = None
     if args.model:
         from cor_asv_ann_spark.model.corrector import make_model_corrector
@@ -82,7 +92,15 @@ def main() -> None:
             from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel
 
             model = Seq2SeqModel.load_npz(args.model)
-        corrector = make_model_corrector(spark, model, beam=args.beam)
+        corrector = make_model_corrector(
+            spark, model, beam=args.beam,
+            use_confmat=use_confmat and not args.beam)
+    elif use_confmat:
+        from cor_asv_ann_spark.operators.correction import (
+            confmat_argmax_corrector,
+        )
+
+        corrector = confmat_argmax_corrector
 
     stateful_docs = None
     if args.model and getattr(model, "stateful", False) and not args.beam:
@@ -102,6 +120,7 @@ def main() -> None:
         n_buckets=args.buckets,
         corrector=corrector,
         stateful_correct_docs=stateful_docs,
+        confmat_df=confmat_df if use_confmat else None,
     )
     if args.pagexml_out:
         from cor_asv_ann_spark.sources.pagexml import write_pagexml_corpus

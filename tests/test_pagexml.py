@@ -365,3 +365,46 @@ def test_run_correction_pagexml_front_door(tmp_path):
     for f in outs:
         p = parse_page_xml(f.stem, f.read_bytes(), level="word")
         assert "".join(t for _, t, _, _ in p["spans"]) == want, f.name
+
+
+def test_run_correction_confmat_channel(tmp_path):
+    """--confmat: multi-TextEquiv alternatives ride the confusion-
+    network channel through the RESUMABLE job (encoding 3 — the
+    reference flagship's input). Pages whose primary word text is
+    corrupted but whose second TextEquiv alternative carries the GT at
+    higher confidence must come out argmax-corrected to the GT."""
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    gt_words = ["hello", "world", "spark", "query"]
+    bad_words = ["hxllo", "wqrld", "spxrk", "qxery"]
+    for did in map(str, range(4)):
+        words = "".join(
+            f'<Word id="d{did}_w{i}">'
+            f'<TextEquiv conf="0.40" index="0"><Unicode>{bad}</Unicode></TextEquiv>'
+            f'<TextEquiv conf="0.90" index="1"><Unicode>{gt}</Unicode></TextEquiv>'
+            f"</Word>"
+            for i, (bad, gt) in enumerate(zip(bad_words, gt_words))
+        )
+        xml = (f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+               f'<TextRegion id="r"><TextLine id="l">{words}</TextLine>'
+               f"</TextRegion></Page></PcGts>")
+        (pages / f"{did}.xml").write_text(xml)
+    r = subprocess.run(
+        [sys.executable, "jobs/run_correction.py",
+         "--pagexml-in", str(pages), "--confmat",
+         "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lineage"), "--run-id", "cm",
+         "--buckets", "2", "--cpus", "4",
+         "--pagexml-out", str(tmp_path / "pages_out")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    from cor_asv_ann_spark.sources.pagexml import parse_page_xml
+
+    want = " ".join(gt_words) + "\n"
+    outs = sorted((tmp_path / "pages_out").glob("*.xml"))
+    assert len(outs) == 4
+    for f in outs:
+        p = parse_page_xml(f.stem, f.read_bytes(), level="word")
+        assert "".join(t for _, t, _, _ in p["spans"]) == want, f.name
