@@ -408,3 +408,31 @@ def test_run_correction_confmat_channel(tmp_path):
     for f in outs:
         p = parse_page_xml(f.stem, f.read_bytes(), level="word")
         assert "".join(t for _, t, _, _ in p["spans"]) == want, f.name
+
+
+def test_reader_on_error_modes(spark, tmp_path):
+    """Malformed page files: on_error='fail' (default) raises with the
+    file name — correctness stays visible; on_error='skip' keeps a
+    100 TB crawl alive, emitting a VISIBLE spanless row per torn page
+    (countable as size(spans)=0) instead of silently dropping it."""
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.sources.pagexml import read_pagexml_full
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for did in map(str, range(3)):
+        (pages / f"{did}.xml").write_bytes(synth_page_xml(did, "one two"))
+    (pages / "torn.xml").write_bytes(b"<PcGts><Page><TextRegion")
+
+    with pytest.raises(Exception) as ei:
+        read_pagexml_full(spark, str(pages)).collect()
+    assert "torn.xml" in str(ei.value)
+
+    rows = read_pagexml_full(spark, str(pages), on_error="skip").collect()
+    assert len(rows) == 4
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id["torn"].spans == [] and by_id["torn"].line_confs == []
+    assert all(len(by_id[str(i)].spans) > 0 for i in range(3))
+    full = read_pagexml_full(spark, str(pages), on_error="skip")
+    assert full.filter(F.size("spans") == 0).count() == 1
