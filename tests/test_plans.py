@@ -194,3 +194,33 @@ def test_mark_affix_lexicon_broadcasts(spark, sf_small, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert has_broadcast_join(plan) or "BroadcastExchange" in plan
+
+
+def test_pagexml_ingest_single_wide_exchange(spark, tmp_path):
+    """PAGE-XML ingest scale pin: scan (column-pruned to path+content)
+    → Coalesce (narrow — no one-task-per-tiny-file storm) → ONE
+    MapInPandas parse → explode → line reassembly with map-side partial
+    aggregation and exactly ONE hash exchange. The listing must be a
+    directory listing (pathGlobFilter), never a many-match Hadoop glob
+    (≈2 ms/file of driver-side status calls)."""
+    import re
+
+    from cor_asv_ann_spark.operators.correction import (
+        assemble_lines,
+        spans_with_line_no,
+    )
+    from cor_asv_ann_spark.sources.pagexml import read_pagexml, synth_page_xml
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for did in map(str, range(6)):
+        (pages / f"{did}.xml").write_bytes(synth_page_xml(did, "a b c d"))
+    lines = assemble_lines(spans_with_line_no(read_pagexml(spark, str(pages))))
+    plan = formatted_plan(lines)
+    # formatted plans print each node twice (tree summary + detail):
+    # count numbered nodes only
+    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+    assert "Coalesce" in plan
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_ex == 1, plan[:2000]
+    assert "partial_collect_list" in plan  # map-side combine before it
