@@ -106,7 +106,10 @@ def run_resumable(
             F.sum(F.col("line_cer") * n_len).alias("sum_dist_w"),
             F.avg("line_cer").alias("mean_cer"),
         )
-        out = reassemble(lines).observe(
+        # with_confs: the model's per-span confidences ride to the sink
+        # (read_spans' explicit schema drops the extra column for
+        # consumers that only want spans; the PAGE-XML writer uses it)
+        out = reassemble(lines, with_confs=True).observe(
             obs_docs, F.count(F.lit(1)).alias("n_docs")
         )
         out.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")

@@ -315,40 +315,49 @@ def correct_lines_stateful(
     return _line_cer_col(out)
 
 
-def reassemble(corrected: DataFrame) -> DataFrame:
+def reassemble(corrected: DataFrame, with_confs: bool = False) -> DataFrame:
     """Corrected line rows → spans table, ordered collect_list keyed by
-    doc_id (the north-rule reassembly)."""
+    doc_id (the north-rule reassembly). ``with_confs=True`` adds a
+    ``span_confs`` column (array<float> position-aligned with spans —
+    the per-span model confidences from out_confs) riding the SAME
+    sorted struct, so alignment is by construction; the PAGE-XML sink
+    writes them into TextEquiv/@conf."""
+    zip_cols = [
+        F.col("offsets").alias("offset"),
+        F.col("kinds").alias("kind"),
+        F.col("out_texts").alias("text"),
+        F.col("media_refs").alias("media_ref"),
+    ]
+    if with_confs:
+        zip_cols.append(F.col("out_confs").alias("conf"))
     text_spans = corrected.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.col("offsets").alias("offset"),
-                F.col("kinds").alias("kind"),
-                F.col("out_texts").alias("text"),
-                F.col("media_refs").alias("media_ref"),
-            )
-        ).alias("s"),
+        "doc_id", F.explode(F.arrays_zip(*zip_cols)).alias("s")
     ).select(
         "doc_id",
         F.col("s.offset").alias("offset"),
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
+        *([F.col("s.conf").alias("conf")] if with_confs else []),
     )
+    struct_cols = ["offset", "kind", "text", "media_ref"] + (
+        ["conf"] if with_confs else []
+    )
+    out_cols = [
+        "doc_id",
+        F.expr(
+            "transform(sp, x -> struct(x.kind as kind, x.text as text,"
+            " x.media_ref as media_ref, x.offset as offset))"
+        ).alias("spans"),
+    ]
+    if with_confs:
+        out_cols.append(F.expr("transform(sp, x -> x.conf)").alias("span_confs"))
     return (
         text_spans.groupBy("doc_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("offset", "kind", "text", "media_ref"))
-            ).alias("sp")
+            F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("sp")
         )
-        .select(
-            "doc_id",
-            F.expr(
-                "transform(sp, x -> struct(x.kind as kind, x.text as text,"
-                " x.media_ref as media_ref, x.offset as offset))"
-            ).alias("spans"),
-        )
+        .select(*out_cols)
     )
 
 
@@ -360,6 +369,7 @@ def correct_pipeline(
     conf_df: DataFrame | None = None,
     confmat_df: DataFrame | None = None,
     stateful_correct_docs=None,
+    with_confs: bool = False,
 ) -> DataFrame:
     """End-to-end: spans table in → corrected spans table out.
 
@@ -397,7 +407,7 @@ def correct_pipeline(
         corrected = correct_lines_stateful(lines, stateful_correct_docs)
     else:
         corrected = correct_lines(lines, corrector)
-    return reassemble(corrected)
+    return reassemble(corrected, with_confs=with_confs)
 
 
 def pipeline_metrics(corrected: DataFrame) -> DataFrame:

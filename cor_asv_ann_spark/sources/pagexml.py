@@ -270,9 +270,15 @@ def _parse_files(level: str, on_error: str = "fail"):
                         doc_id = doc_id[: -len(ext)]
                 try:
                     parsed = parse_page_xml(doc_id, bytes(content), level=level)
-                except ET.ParseError as exc:
+                except Exception as exc:
+                    # not just ParseError: malformed ATTRIBUTES raise
+                    # too (float(conf)="0,95", int(index)="1a") — a torn
+                    # page is a torn page either way. (level is
+                    # validated before the scan, so a config error can
+                    # never be swallowed here.)
                     if on_error == "fail":
-                        raise ValueError(f"malformed PAGE-XML {name}: {exc}")
+                        raise ValueError(
+                            f"malformed PAGE-XML {name}: {exc}") from exc
                     # on_error="skip": emit a spanless row — the bad
                     # page stays VISIBLE (doc_id present, zero spans)
                     # instead of silently vanishing from the corpus
@@ -349,21 +355,31 @@ def read_pagexml_full(
             return p, "*.xml"
         return p, None
 
+    if level not in ("line", "word", "glyph"):
+        raise ValueError(f"level must be line|word|glyph, not {level!r}")
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
     path_list = [paths] if isinstance(paths, str) else list(paths)
     normed = [_norm(p) for p in path_list]
-    pats = {pat for _, pat in normed}
-    if len(pats) == 1 and next(iter(pats)) is not None:
-        reader = spark.read.format("binaryFile").option(
-            "pathGlobFilter", next(iter(pats)))
-        df = reader.load([d for d, _ in normed])
-    else:
-        df = spark.read.format("binaryFile").load(path_list)
-    df = df.select("path", "content")
+    # group by pathGlobFilter so MIXED inputs (a directory next to an
+    # explicit file / differing globs) each keep their own filter —
+    # falling back to one unfiltered load would ingest a directory's
+    # non-XML sidecars (METS, json) and fail on them
+    by_pat: dict[str | None, list[str]] = {}
+    for d, pat in normed:
+        by_pat.setdefault(pat, []).append(d)
+    frames = []
+    for pat, dirs in by_pat.items():
+        reader = spark.read.format("binaryFile")
+        if pat is not None:
+            reader = reader.option("pathGlobFilter", pat)
+        frames.append(reader.load(dirs).select("path", "content"))
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
     df = df.coalesce(n_partitions)
-    if on_error not in ("fail", "skip"):
-        raise ValueError("on_error must be 'fail' or 'skip'")
     return df.mapInPandas(_parse_files(level, on_error), schema=_FULL_SCHEMA)
 
 
@@ -394,18 +410,19 @@ def confmat_channel(full: DataFrame) -> DataFrame:
 
 
 def read_pagexml(
-    spark: SparkSession, paths: str | list[str], level: str = "word"
+    spark: SparkSession, paths: str | list[str], level: str = "word", **kw
 ) -> DataFrame:
-    """PAGE-XML files → span table (SPANS_SCHEMA)."""
-    return spans_of(read_pagexml_full(spark, paths, level=level))
+    """PAGE-XML files → span table (SPANS_SCHEMA). Extra kwargs
+    (``on_error``, ``n_partitions``) forward to read_pagexml_full."""
+    return spans_of(read_pagexml_full(spark, paths, level=level, **kw))
 
 
 def read_pagexml_channels(
-    spark: SparkSession, paths: str | list[str], level: str = "word"
+    spark: SparkSession, paths: str | list[str], level: str = "word", **kw
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """PAGE-XML files → (spans_df, conf_df, confmat_df) from ONE parsed
-    scan (cached)."""
-    full = read_pagexml_full(spark, paths, level=level).cache()
+    scan (cached). Extra kwargs forward to read_pagexml_full."""
+    full = read_pagexml_full(spark, paths, level=level, **kw).cache()
     return spans_of(full), conf_channel(full), confmat_channel(full)
 
 
@@ -423,6 +440,21 @@ def _key_int(s: str) -> int:
     import hashlib
 
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+
+
+def _sub(parent, name: str, **attrs):
+    el = ET.SubElement(parent, f"{{{_NS}}}{name}")
+    for k, v in attrs.items():
+        el.set(k, str(v))
+    return el
+
+
+def _add_te(parent, uni: str, conf: float, index: int | None = None) -> None:
+    attrs = {"conf": f"{conf:.4f}"}
+    if index is not None:
+        attrs["index"] = str(index)
+    te = _sub(parent, "TextEquiv", **attrs)
+    _sub(te, "Unicode").text = uni
 
 
 def synth_page_xml(doc_id: str, text: str, words_per_line: int = 7) -> bytes:
@@ -459,19 +491,7 @@ def synth_page_xml(doc_id: str, text: str, words_per_line: int = 7) -> bytes:
         return round(0.5 + (_key_int(f"{doc_id}:{tag}") % 50) / 100.0, 2)
 
     E = ET.Element
-
-    def sub(parent, name, **attrs):
-        el = ET.SubElement(parent, f"{{{_NS}}}{name}")
-        for k, v in attrs.items():
-            el.set(k, str(v))
-        return el
-
-    def add_te(parent, uni: str, conf: float, index: int | None = None):
-        attrs = {"conf": f"{conf:.2f}"}
-        if index is not None:
-            attrs["index"] = str(index)
-        te = sub(parent, "TextEquiv", **attrs)
-        sub(te, "Unicode").text = uni
+    sub, add_te = _sub, _add_te
 
     root = E(f"{{{_NS}}}PcGts")
     page = sub(root, "Page", imageFilename=f"{doc_id}.png",
@@ -602,27 +622,24 @@ def render_page_xml(
     pipeline's out_confs) become TextEquiv/@conf. Line-level TextEquiv
     is the concatenation of the line's span texts — the reference's
     hierarchy-consistency contract (page_update_higher_textequiv_levels,
-    transcode.py:630-763)."""
-    E = ET.Element
+    transcode.py:630-763).
 
-    def sub(parent, name, **attrs):
-        el = ET.SubElement(parent, f"{{{_NS}}}{name}")
-        for k, v in attrs.items():
-            el.set(k, str(v))
-        return el
-
-    def add_te(parent, uni: str, conf: float):
-        te = sub(parent, "TextEquiv", conf=f"{conf:.4f}")
-        sub(te, "Unicode").text = uni
+    Id/Coords recovery is per element grain: a word span's anchor
+    restores that Word's id and Coords (likewise glyph spans for
+    Glyphs, 'line' spans for TextLines). A TextLine reconstructed from
+    WORD spans gets a synthesized id and no Coords — a word's polygon
+    is NOT the line's, and a wrong geometry is worse than none."""
+    root = ET.Element(f"{{{_NS}}}PcGts")
+    page = _sub(root, "Page",
+                imageFilename=image_filename or f"{doc_id}.png")
+    region = _sub(page, "TextRegion", id=f"{doc_id}_r0")
 
     def add_coords(parent, points: str | None):
         if points:
-            sub(parent, "Coords", points=points)
+            _sub(parent, "Coords", points=points)
 
-    root = E(f"{{{_NS}}}PcGts")
-    page = sub(root, "Page",
-               imageFilename=image_filename or f"{doc_id}.png")
-    region = sub(page, "TextRegion", id=f"{doc_id}_r0")
+    def ided(eid: str | None, fallback: str) -> str:
+        return eid if eid else fallback
 
     # split into lines at newline spans (a trailing open line counts)
     lines: list[list[tuple[str, str, str | None, float]]] = [[]]
@@ -638,9 +655,11 @@ def render_page_xml(
     for li, line_spans in enumerate(lines):
         if not line_spans:
             continue
-        first_ref = next((r for _, _, r, _ in line_spans if r), None)
-        lid, lpoints = _anchor_parts(first_ref)
-        tline = sub(region, "TextLine", id=f"{doc_id}_l{li}")
+        # line id/Coords ONLY from a line-grain anchor ('line' spans)
+        line_ref = next((r for k, _, r, _ in line_spans if k == "line" and r),
+                        None)
+        lid, lpoints = _anchor_parts(line_ref)
+        tline = _sub(region, "TextLine", id=ided(lid, f"{doc_id}_l{li}"))
         line_parts: list[str] = []
         # regroup word/glyph spans into Word (consecutive glyphs up to
         # a space form one word — the inverse of the parser's walk)
@@ -651,17 +670,19 @@ def render_page_xml(
             nonlocal wi, cur_glyphs
             if not cur_glyphs:
                 return
-            word = sub(tline, "Word", id=f"{doc_id}_l{li}_w{wi}")
-            gid0, gpoints0 = _anchor_parts(cur_glyphs[0][1])
-            add_coords(word, gpoints0)
+            # the word element is synthesized (glyph anchors are
+            # glyph-grain); its glyphs keep their recovered ids/Coords
+            word = _sub(tline, "Word", id=f"{doc_id}_l{li}_w{wi}")
             for gi, (gtext, gref, gconf) in enumerate(cur_glyphs):
-                glyph = sub(word, "Glyph", id=f"{doc_id}_l{li}_w{wi}_g{gi}")
-                _, gp = _anchor_parts(gref)
-                add_coords(glyph, gp)
-                add_te(glyph, gtext, gconf)
+                gid, gpoints = _anchor_parts(gref)
+                glyph = _sub(
+                    word, "Glyph",
+                    id=ided(gid, f"{doc_id}_l{li}_w{wi}_g{gi}"))
+                add_coords(glyph, gpoints)
+                _add_te(glyph, gtext, gconf)
             wtext = "".join(g[0] for g in cur_glyphs)
             wconf = sum(g[2] for g in cur_glyphs) / len(cur_glyphs)
-            add_te(word, wtext, wconf)
+            _add_te(word, wtext, wconf)
             wi += 1
             cur_glyphs = []
 
@@ -671,10 +692,11 @@ def render_page_xml(
                 line_parts.append(text)
             elif kind == "word":
                 flush_glyph_word()
-                _, wpoints = _anchor_parts(ref)
-                word = sub(tline, "Word", id=f"{doc_id}_l{li}_w{wi}")
+                wid, wpoints = _anchor_parts(ref)
+                word = _sub(tline, "Word",
+                            id=ided(wid, f"{doc_id}_l{li}_w{wi}"))
                 add_coords(word, wpoints)
-                add_te(word, text, conf)
+                _add_te(word, text, conf)
                 wi += 1
                 line_parts.append(text)
             elif kind == "space":
@@ -686,21 +708,24 @@ def render_page_xml(
         flush_glyph_word()
         add_coords(tline, lpoints)
         line_confs_ = [c for _, _, _, c in line_spans] or [1.0]
-        add_te(tline, "".join(line_parts),
-               sum(line_confs_) / len(line_confs_))
+        _add_te(tline, "".join(line_parts),
+                sum(line_confs_) / len(line_confs_))
     return ET.tostring(root, encoding="utf-8", xml_declaration=True)
 
 
-def write_pagexml_corpus(
-    spans_df: DataFrame, out_dir: str, confs_df: DataFrame | None = None
-) -> int:
+def write_pagexml_corpus(spans_df: DataFrame, out_dir: str) -> int:
     """Distributed span-table → PAGE-XML writer: one file per doc under
     ``out_dir`` (each task writes its partition's files — the same
-    shared-filesystem discipline as synth_pagexml_corpus). Returns the
-    number of files written."""
+    shared-filesystem discipline as synth_pagexml_corpus). When the
+    frame carries a ``span_confs`` column (array<float> aligned with
+    ``spans`` — reassemble(..., with_confs=True) emits it and the
+    resumable job writes it), those confidences land in
+    TextEquiv/@conf; otherwise 1.0. Returns the number of files
+    written."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    has_confs = "span_confs" in spans_df.columns
 
     def write_part(batches):
         import pandas as pd
@@ -712,7 +737,12 @@ def write_pagexml_corpus(
                     (s["kind"], s["text"], s["media_ref"], s["offset"])
                     for s in row["spans"]
                 ]
-                data = render_page_xml(str(row["doc_id"]), spans)
+                confs = (
+                    [float(c) for c in row["span_confs"]]
+                    if has_confs and row["span_confs"] is not None
+                    else None
+                )
+                data = render_page_xml(str(row["doc_id"]), spans, confs=confs)
                 with open(
                     os.path.join(out_dir, f"{row['doc_id']}.xml"), "wb"
                 ) as f:

@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--level", default="word", choices=["line", "word", "glyph"],
                     help="hierarchy grain for --pagexml-in "
                          "(reference textequiv_level)")
+    ap.add_argument("--on-error", default="fail", choices=["fail", "skip"],
+                    help="with --pagexml-in: 'skip' keeps the job alive "
+                         "on malformed page files (each stays visible as "
+                         "a spanless doc); default fails loudly")
     ap.add_argument("--confmat", action="store_true",
                     help="with --pagexml-in: feed multi-TextEquiv "
                          "alternatives through the confusion-network "
@@ -71,15 +75,24 @@ def main() -> None:
 
         if args.confmat:
             spans, _conf, confmat_df = read_pagexml_channels(
-                spark, args.pagexml_in, level=args.level)
+                spark, args.pagexml_in, level=args.level,
+                on_error=args.on_error)
         else:
-            spans = read_pagexml(spark, args.pagexml_in, level=args.level)
+            spans = read_pagexml(spark, args.pagexml_in, level=args.level,
+                                 on_error=args.on_error)
     elif args.sf_dir:
         spans = synth_spans(spark, args.sf_dir, noisy=True)
     else:
         ap.error("one of --input / --pagexml-in / --sf-dir is required")
 
-    use_confmat = bool(args.confmat and args.pagexml_in)
+    if args.confmat and not args.pagexml_in:
+        ap.error("--confmat requires --pagexml-in (the alternatives come "
+                 "from multi-TextEquiv page files)")
+    if args.confmat and args.beam:
+        print("warning: --confmat is ignored with --beam (the beam path "
+              "decodes the nominal text only); dropping the confmat "
+              "channel", file=sys.stderr)
+    use_confmat = bool(args.confmat and args.pagexml_in and not args.beam)
     corrector = None
     if args.model:
         from cor_asv_ann_spark.model.corrector import make_model_corrector
@@ -124,10 +137,11 @@ def main() -> None:
     )
     if args.pagexml_out:
         from cor_asv_ann_spark.sources.pagexml import write_pagexml_corpus
-        from cor_asv_ann_spark.sources.spans import read_spans as _rs
 
+        # plain parquet read (not read_spans' fixed schema): keeps the
+        # span_confs column so model confidences reach TextEquiv/@conf
         summary["pagexml_out"] = write_pagexml_corpus(
-            _rs(spark, args.output), args.pagexml_out)
+            spark.read.parquet(args.output), args.pagexml_out)
     lineage = spark.read.parquet(args.lineage)
     from pyspark.sql import functions as F
 

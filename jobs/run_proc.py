@@ -81,34 +81,50 @@ def _pkl_source_row(src, charmap_fn):
     'except when it's not')."""
     import unicodedata
 
+    pre_mapped = False
     if isinstance(src, str):
         text, chunks = src, None
     elif not src:  # empty
         text, chunks = "", None
     elif isinstance(src[0], tuple) and isinstance(src[0][0], str) and len(src[0]) == 2 \
             and not isinstance(src[0][1], (list, tuple)):
-        # prob line: [(char, prob), ...] → exact confmat chunks
-        text = "".join(c for c, _ in src)
-        chunks = [
-            [{"alt": c, "p": float(p)}] + ([{"alt": "", "p": 1.0 - float(p)}]
-                                           if float(p) < 1.0 else [])
-            for c, p in src
+        # prob line: [(char, prob), ...] → exact confmat chunks. The
+        # chars are charmapped + NFC'd EXACTLY like the nominal text —
+        # the reference translates/normalizes the prob-line source it
+        # vectorizes (seq2seq.py:975-979), so decoding the raw chars
+        # would silently diverge from the reference CLI. (EOS presence
+        # is judged on the RAW chars, as the reference does at :962
+        # before its translate at :975.)
+        mapped = [
+            unicodedata.normalize("NFC", charmap_fn(c)) for c, _ in src
         ]
+        text = "".join(mapped)
+        chunks = [
+            [{"alt": mc, "p": float(p)}] + ([{"alt": "", "p": 1.0 - float(p)}]
+                                            if float(p) < 1.0 else [])
+            for mc, (_, p) in zip(mapped, src)
+        ]
+        pre_mapped = True
     else:
         # confmat: [[(alt, prob), ...], ...]; nominal text = first
-        # alternative of each chunk (seq2seq.py:957-958)
+        # alternative of each chunk (seq2seq.py:957-958); the chunks
+        # themselves stay untranslated — the reference vectorizes
+        # source_conf, not the translated text, for this encoding
         text = "".join(chunk[0][0] if chunk else "" for chunk in src)
         chunks = [
             [{"alt": a, "p": float(p)} for a, p in chunk] for chunk in src
         ]
-    if not text.endswith("\n"):
-        if chunks is not None:
-            # reference replaces a non-EOS-terminated confidence line
-            # entirely with a bare EOS (seq2seq.py:962-964)
-            text, chunks = "\n", [[{"alt": "\n", "p": 1.0}]]
-        # plain strings keep their content; EOS is appended by the
-        # frame construction below (mirrors the reference text path)
-    text = unicodedata.normalize("NFC", charmap_fn(text.rstrip("\n")))
+    raw_text = "".join(c for c, _ in src) if pre_mapped else text
+    if not raw_text.endswith("\n") and chunks is not None:
+        # reference replaces a non-EOS-terminated confidence line
+        # entirely with a bare EOS (seq2seq.py:962-964); plain strings
+        # keep their content — EOS is appended by the frame
+        # construction below (mirrors the reference text path)
+        return "", json.dumps([[{"alt": "\n", "p": 1.0}]])
+    if pre_mapped:
+        text = text.rstrip("\n")
+    else:
+        text = unicodedata.normalize("NFC", charmap_fn(text.rstrip("\n")))
     return text, (json.dumps(chunks) if chunks is not None else None)
 
 
@@ -144,10 +160,16 @@ def read_files_ordered(spark, paths: list[str], cmap: dict[str, str] | None = No
                         lines.append(text)
                         cms.append(cm)
                 else:
-                    # universal newlines: splitlines handles \n, \r\n, \r
-                    # (the reference opens text files in text mode)
+                    # universal newlines EXACTLY as text mode: \r\n, \r,
+                    # \n only (str.splitlines would also split on \f,
+                    # \v, \x85, U+2028… which the reference keeps
+                    # inside a line)
+                    import re as _re
+
                     text = bytes(content).decode("utf-8", errors="replace")
-                    lines = text.splitlines()
+                    lines = _re.split(r"\r\n|\r|\n", text)
+                    if lines and lines[-1] == "":
+                        lines.pop()
                     # TSV: source is the first tab field (reference proc
                     # ignores the target side)
                     lines = [

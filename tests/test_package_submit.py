@@ -266,3 +266,30 @@ def test_run_proc_confmat_pickle(spark, tmp_path):
                    for o, t in zip(outs, tgts)) / len(tgts)
 
     assert cer(out_cm + out_pl, gt) < cer(noisy, gt), (out_cm + out_pl, noisy)
+
+
+def test_read_files_ordered_probline_charmap_and_formfeed(spark, tmp_path):
+    """Review fixes: (1) prob-line pickle chars are charmapped exactly
+    like plain text (the reference translates the prob-line source it
+    vectorizes, seq2seq.py:975-979) — a swap map must not cascade and
+    must reach the confmat alts; (2) a form feed inside a plain-text
+    line stays IN the line (text-mode universal newlines split on
+    \\r\\n/\\r/\\n only, not str.splitlines' \\f/\\v/\\x85)."""
+    import json as _json
+    import pickle
+
+    from jobs.run_proc import read_files_ordered
+
+    pkl = tmp_path / "p.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump([([("a", 0.9), ("b", 0.8), ("\n", 1.0)], "ab\n")], f)
+    rows = read_files_ordered(
+        spark, [str(pkl)], cmap={"a": "b", "b": "a"}).collect()
+    assert rows[0].source == "ba"
+    alts = [[d["alt"] for d in ch] for ch in _json.loads(rows[0].confmat)]
+    assert [a[0] for a in alts] == ["b", "a", "\n"]
+
+    ff = tmp_path / "ff.txt"
+    ff.write_bytes(b"one\x0cpage\ntwo\n")
+    rows = read_files_ordered(spark, [str(ff)]).orderBy("line_no").collect()
+    assert [r.source for r in rows] == ["one\x0cpage", "two"]

@@ -436,3 +436,130 @@ def test_reader_on_error_modes(spark, tmp_path):
     assert all(len(by_id[str(i)].spans) > 0 for i in range(3))
     full = read_pagexml_full(spark, str(pages), on_error="skip")
     assert full.filter(F.size("spans") == 0).count() == 1
+
+
+def test_render_recovers_ids_and_omits_wrong_line_coords():
+    """Review fixes: anchors recovered from coords:// restore the
+    ORIGINAL element ids (words, glyphs, line-grain lines) so corrected
+    pages stay joinable back to the source workspace by id; a TextLine
+    rebuilt from WORD spans must get NO Coords (a word's polygon is not
+    the line's)."""
+    import xml.etree.ElementTree as ET
+
+    from cor_asv_ann_spark.sources.pagexml import (
+        parse_page_xml,
+        render_page_xml,
+    )
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    src = f"""<?xml version="1.0"?>
+<PcGts xmlns="{ns}"><Page><TextRegion id="r">
+  <TextLine id="origL"><Coords points="0,0 9,9"/>
+    <Word id="origW1"><Coords points="1,1 2,2"/>
+      <TextEquiv conf="0.7"><Unicode>aa</Unicode></TextEquiv></Word>
+    <Word id="origW2"><Coords points="3,3 4,4"/>
+      <TextEquiv conf="0.8"><Unicode>bb</Unicode></TextEquiv></Word>
+    <TextEquiv conf="0.75"><Unicode>aa bb</Unicode></TextEquiv>
+  </TextLine>
+</TextRegion></Page></PcGts>"""
+    # word grain: word ids + Coords recovered; line id synthesized and
+    # NO line Coords (word polygons must not leak up)
+    p = parse_page_xml("d", src.encode(), level="word")
+    out = render_page_xml("d", p["spans"])
+    root = ET.fromstring(out)
+
+    def find_all(name):
+        return [e for e in root.iter() if e.tag.endswith("}" + name)]
+
+    words = find_all("Word")
+    assert [w.get("id") for w in words] == ["origW1", "origW2"]
+    wcoords = [c.get("points") for w in words for c in w
+               if c.tag.endswith("}Coords")]
+    assert wcoords == ["1,1 2,2", "3,3 4,4"]
+    tline = find_all("TextLine")[0]
+    assert not [c for c in tline if c.tag.endswith("}Coords")]
+    # line grain: the line's own id + Coords recovered
+    pl = parse_page_xml("d", src.encode(), level="line")
+    outl = render_page_xml("d", pl["spans"])
+    rootl = ET.fromstring(outl)
+    tl = [e for e in rootl.iter() if e.tag.endswith("}TextLine")][0]
+    assert tl.get("id") == "origL"
+    assert [c.get("points") for c in tl if c.tag.endswith("}Coords")] == [
+        "0,0 9,9"]
+
+
+def test_reader_mixed_paths_and_attr_errors(spark, tmp_path):
+    """Review fixes: (1) a directory mixed with an explicit file keeps
+    the directory's *.xml filter (a JSON sidecar in the dir must NOT be
+    ingested and crash the scan); (2) on_error='skip' also survives
+    malformed ATTRIBUTES (conf='0,95'), not just unparsable XML."""
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for did in ("0", "1"):
+        (pages / f"{did}.xml").write_bytes(synth_page_xml(did, "one two"))
+    (pages / "sidecar.json").write_text('{"not": "xml"}')
+    extra = tmp_path / "extra.xml"
+    extra.write_bytes(synth_page_xml("9", "three four"))
+
+    from cor_asv_ann_spark.sources.pagexml import read_pagexml_full
+
+    rows = read_pagexml_full(spark, [str(pages), str(extra)]).collect()
+    assert sorted(r.doc_id for r in rows) == ["0", "1", "extra"]
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    (pages / "badattr.xml").write_text(
+        f'<PcGts xmlns="{ns}"><Page><TextRegion id="r"><TextLine id="l">'
+        f'<Word id="w"><TextEquiv conf="0,95"><Unicode>x</Unicode>'
+        f"</TextEquiv></Word></TextLine></TextRegion></Page></PcGts>")
+    with pytest.raises(Exception) as ei:
+        read_pagexml_full(spark, str(pages)).collect()
+    assert "badattr.xml" in str(ei.value)
+    rows = read_pagexml_full(spark, str(pages), on_error="skip").collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id["badattr"].spans == []
+    assert len(by_id["0"].spans) > 0
+
+
+def test_model_confs_reach_pagexml_sink(tmp_path):
+    """Review fix: the pipeline's per-span confidences (out_confs →
+    reassemble(with_confs) → span_confs) land in the output pages'
+    TextEquiv/@conf through run_correction --pagexml-out. With the
+    confmat argmax corrector picking the 0.90 GT alternatives, every
+    word conf in the corrected pages must be ≈0.9, not the old
+    hardcoded 1.0."""
+    import xml.etree.ElementTree as ET
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    for did in map(str, range(2)):
+        words = "".join(
+            f'<Word id="d{did}_w{i}">'
+            f'<TextEquiv conf="0.40" index="0"><Unicode>zzz</Unicode></TextEquiv>'
+            f'<TextEquiv conf="0.90" index="1"><Unicode>abc</Unicode></TextEquiv>'
+            f"</Word>"
+            for i in range(3)
+        )
+        (pages / f"{did}.xml").write_text(
+            f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+            f'<TextRegion id="r"><TextLine id="l">{words}</TextLine>'
+            f"</TextRegion></Page></PcGts>")
+    r = subprocess.run(
+        [sys.executable, "jobs/run_correction.py",
+         "--pagexml-in", str(pages), "--confmat",
+         "--output", str(tmp_path / "out"),
+         "--lineage", str(tmp_path / "lin"), "--run-id", "cf",
+         "--buckets", "1", "--cpus", "4",
+         "--pagexml-out", str(tmp_path / "pages_out")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for f in sorted((tmp_path / "pages_out").glob("*.xml")):
+        root = ET.fromstring(f.read_bytes())
+        word_confs = [
+            float(te.get("conf"))
+            for w in root.iter() if w.tag.endswith("}Word")
+            for te in w if te.tag.endswith("}TextEquiv")
+        ]
+        assert word_confs, f.name
+        assert all(0.85 <= c <= 0.95 for c in word_confs), (f.name, word_confs)
