@@ -570,6 +570,93 @@ def q_mark_oov_affix(spark, sf_dir):
     )
 
 
+def _mat_compound_parts(spark, sf_dir):
+    """Corpus-derived compound-part lexicon (top-50 tokens, ≥3 chars),
+    materialized once per sf so the DuckDB oracle can replay compound
+    acceptance as an independent existential join over the same parquet
+    (the centroids trick applied to hunspell compounding)."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    tag = f"compound_parts_{base}"
+    path = f"{_ORACLE_DIR}/{tag}"
+    d = _docs(spark, sf_dir)
+    parts = (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
+        .select(F.lower(F.regexp_replace("w", r"[^\p{L}\p{M}]", "")).alias("part"))
+        .filter(F.length("part") >= 3)
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "part")
+        .limit(50)
+        .select("part")
+    )
+    if tag not in _MATERIALIZED:
+        parts.coalesce(1).write.mode("overwrite").parquet(path)
+        _MATERIALIZED.add(tag)
+    return parts
+
+
+def q_mark_oov_compound(spark, sf_dir):
+    """P8/A7 with hunspell COMPOUND semantics (the reference's hunspell
+    resolves German-style compounds at lookup, wrapper/mark.py:59-69 —
+    unboundedly many forms, so acceptance is a split-point DP, not a
+    pre-expanded join): candidates are each doc's first token and the
+    concatenation of its first two tokens; the concatenations are
+    never lexicon entries, so they only come back IV through the
+    CompoundLexicon rescue pass inside the real mark_words operator.
+    The oracle replays acceptance as an existential two-part join over
+    the materialized parts parquet — an independent decision procedure
+    for the same semantics (wordmax=2, cmin=3)."""
+    from cor_asv_ann_spark.corelib.affix import CompoundLexicon
+    from cor_asv_ann_spark.operators.mark import mark_words
+
+    parts_df = _mat_compound_parts(spark, sf_dir)
+    parts = frozenset(r.part for r in parts_df.collect())
+    comp = CompoundLexicon(
+        standalone=parts, begin=parts, middle=frozenset(), end=parts,
+        cmin=3, wordmax=2,
+    )
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda w: F.lower(F.regexp_replace(w, r"[^\p{L}\p{M}]", "")),
+        ),
+        lambda t: F.length(t) >= 3,
+    )
+    c = d.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("t1"),
+        F.element_at(toks, 2).alias("t2"),
+    )
+    singles = c.filter(F.col("t1").isNotNull()).select(
+        "doc_id",
+        F.lit(0).alias("line_no"),
+        F.lit(0).alias("word_idx"),
+        F.col("t1").alias("word"),
+        F.lit(False).alias("is_concat"),
+    )
+    concats = c.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull()).select(
+        "doc_id",
+        F.lit(0).alias("line_no"),
+        F.lit(1).alias("word_idx"),
+        F.concat("t1", "t2").alias("word"),
+        F.lit(True).alias("is_concat"),
+    )
+    words = singles.unionByName(concats)
+    marked = mark_words(words, parts_df.select(F.col("part").alias("entry")), compound=comp)
+    return (
+        marked.groupBy("is_concat")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum((~F.col("oov")).cast("long")).alias("n_iv"),
+            F.round(F.avg(F.col("oov").cast("double")), 6).alias("oov_rate"),
+        )
+        .orderBy("is_concat")
+    )
+
+
 def q_mark_oov(spark, sf_dir):
     """P8/A7-shaped: OOV rate per language against a corpus-derived
     lexicon (top-20 tokens) — broadcast anti-join marking."""
@@ -1151,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_histogram": q_word_histogram,
         "mark_oov": q_mark_oov,
         "mark_oov_affix": q_mark_oov_affix,
+        "mark_oov_compound": q_mark_oov_compound,
         "bpe_token_count": q_bpe_token_count,
         "char_lm_counts": q_char_lm_counts,
         "strip_boilerplate": q_strip_boilerplate,
@@ -1609,6 +1697,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN normed IN (SELECT normed FROM lex)
                              THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
             FROM words GROUP BY lang ORDER BY lang
+        """,
+        "mark_oov_compound": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split_regex(text, '\\s+'),
+                         w -> lower(regexp_replace(w, '[^\\p{{L}}\\p{{M}}]', '', 'g'))),
+                       t -> length(t) >= 3) AS ts
+              FROM documents),
+            cand AS (
+              SELECT doc_id, ts[1] AS w, FALSE AS is_concat
+              FROM toks WHERE len(ts) >= 1
+              UNION ALL
+              SELECT doc_id, ts[1] || ts[2] AS w, TRUE AS is_concat
+              FROM toks WHERE len(ts) >= 2),
+            parts AS (
+              SELECT part
+              FROM read_parquet('{_ORACLE_DIR}/compound_parts_sf0.01/*.parquet')),
+            pairs AS (
+              SELECT DISTINCT p1.part || p2.part AS w FROM parts p1, parts p2),
+            acc AS (
+              SELECT is_concat,
+                     (w IN (SELECT part FROM parts)
+                      OR w IN (SELECT w FROM pairs)) AS iv
+              FROM cand)
+            SELECT is_concat, count(*) AS n_words,
+                   CAST(sum(CASE WHEN iv THEN 1 ELSE 0 END) AS BIGINT) AS n_iv,
+                   round(avg(CASE WHEN iv THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+            FROM acc GROUP BY is_concat ORDER BY is_concat
         """,
         "bpe_token_count": """
             SELECT lang, CAST(sum(n_sub) AS BIGINT) AS sum_subtokens,

@@ -179,6 +179,7 @@ def main() -> None:
         "knn_ann_lsh",
         "knn_ivf",
         "mark_oov_affix",
+        "mark_oov_compound",
         "char_lm_counts",
         "strip_boilerplate",
         "html_extract",

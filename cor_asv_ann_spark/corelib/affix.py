@@ -21,9 +21,26 @@ form — exactly one extra expansion level, as hunspell itself allows at
 most two suffixes (suffix-suffix and suffix-then-prefix both ride
 this).
 
-Out of scope (documented, loudly ignored): COMPOUND* rules,
-REP/MAP/ICONV suggestion tables — neither affects simple-word
-acceptance for inflection-style dictionaries.
+Compound words (hunspell COMPOUND* directives): ``COMPOUNDFLAG`` /
+``COMPOUNDBEGIN``/``COMPOUNDMIDDLE``/``COMPOUNDEND`` mark entries as
+compound parts, ``COMPOUNDMIN`` (default 3) bounds part length,
+``COMPOUNDWORDMAX`` bounds part count, ``ONLYINCOMPOUND`` entries are
+not standalone words, ``CHECKCOMPOUNDDUP`` forbids adjacent identical
+parts and ``CHECKCOMPOUNDTRIPLE`` forbids a tripled letter spanning a
+junction. Acceptance of an unbounded concatenation cannot be
+pre-expanded into a finite lexicon, so it is a DP over split points
+(``CompoundLexicon.accepts``) run only on words that already MISSED
+the exact lexicon join. ``ICONV`` input-conversion pairs are applied
+(longest-match, single pass) to the looked-up word. Affixed forms
+participate in compounds only at the outer edges (prefixed form may
+begin, suffixed form may end — hunspell's default without
+COMPOUNDPERMITFLAG).
+
+Out of scope (documented, loudly ignored): COMPOUNDPERMITFLAG /
+COMPOUNDFORBIDFLAG / COMPOUNDRULE pattern compounds, CHECKCOMPOUNDCASE
+/ CHECKCOMPOUNDREP / CHECKCOMPOUNDPATTERN, and the REP/MAP/OCONV
+suggestion tables — none affects simple-word acceptance for
+inflection-style dictionaries.
 """
 
 from __future__ import annotations
@@ -79,10 +96,24 @@ def _split_flags(field: str, mode: str) -> tuple[str, ...]:
 
 
 def parse_aff(text: str) -> dict:
-    """``.aff`` → {"flag_mode": str, "rules": {flag: [AffixRule, ...]}}."""
+    """``.aff`` → {"flag_mode", "rules", "compound", "iconv"}.
+
+    ``compound`` is None unless the file carries any COMPOUND*/
+    ONLYINCOMPOUND directive, else a dict with the flag values and
+    numeric bounds; ``iconv`` is a (from, to) pair list (empty when the
+    file has no ICONV table)."""
     flag_mode = "single"
     rules: dict[str, list[AffixRule]] = {}
     headers: dict[str, tuple[str, bool]] = {}  # flag -> (kind, cross)
+    compound: dict = {}
+    iconv: list[tuple[str, str]] = []
+    _CFLAGS = {
+        "COMPOUNDFLAG": "any",
+        "COMPOUNDBEGIN": "begin",
+        "COMPOUNDMIDDLE": "middle",
+        "COMPOUNDEND": "end",
+        "ONLYINCOMPOUND": "onlyin",
+    }
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -92,6 +123,20 @@ def parse_aff(text: str) -> dict:
             flag_mode = {"long": "long", "num": "num", "UTF-8": "single"}.get(
                 parts[1], "single"
             )
+        elif parts[0] in _CFLAGS and len(parts) >= 2:
+            compound[_CFLAGS[parts[0]]] = parts[1]
+        elif parts[0] == "COMPOUNDMIN" and len(parts) >= 2 and parts[1].isdigit():
+            compound["min"] = int(parts[1])
+        elif parts[0] == "COMPOUNDWORDMAX" and len(parts) >= 2 and parts[1].isdigit():
+            compound["wordmax"] = int(parts[1])
+        elif parts[0] == "CHECKCOMPOUNDDUP":
+            compound["checkdup"] = True
+        elif parts[0] == "CHECKCOMPOUNDTRIPLE":
+            compound["checktriple"] = True
+        elif parts[0] == "ICONV" and len(parts) >= 3:
+            # the "ICONV <n>" count header has exactly 2 fields — rows
+            # carry (from, to); "_" encodes a space per hunspell
+            iconv.append((parts[1].replace("_", " "), parts[2].replace("_", " ")))
         elif parts[0] in ("SFX", "PFX") and len(parts) >= 4:
             kind, flag = parts[0], parts[1]
             if flag not in headers and parts[2] in ("Y", "N") and parts[3].isdigit():
@@ -110,7 +155,12 @@ def parse_aff(text: str) -> dict:
                     AffixRule(kind, strip, append, _cond_regex(kind, cond),
                               cross, cont)
                 )
-    return {"flag_mode": flag_mode, "rules": rules}
+    return {
+        "flag_mode": flag_mode,
+        "rules": rules,
+        "compound": compound or None,
+        "iconv": iconv,
+    }
 
 
 def _apply(rule: AffixRule, word: str) -> "str | None":
@@ -129,53 +179,206 @@ def _apply(rule: AffixRule, word: str) -> "str | None":
     return rule.append + word
 
 
-def expand_entry(entry: str, aff: dict) -> list[str]:
+def expand_entry_tagged(entry: str, aff: dict) -> "list[tuple[str, str]]":
     """One ``.dic`` line ("word" or "word/FLAGS") → all surface forms
-    (base + suffixed + prefixed + cross-products + one two-fold
-    continuation level), deduped, base first."""
+    with position tags, deduped (tags merged), base first.
+
+    Tag chars: ``s`` = valid standalone word, ``b``/``m``/``e`` =
+    usable as compound begin/middle/end part. Base forms get b/m/e
+    from their COMPOUND flags (COMPOUNDFLAG = all three); affixed
+    forms participate only at the outer edges — a prefixed form may
+    begin, a suffixed form may end (hunspell's default without
+    COMPOUNDPERMITFLAG). ONLYINCOMPOUND suppresses ``s``."""
     word, _, flag_field = entry.partition("/")
     word = word.strip()
     if not word:
         return []
-    forms = [word]
-    if not flag_field:
-        return forms
-    rules = aff["rules"]
+    comp = aff.get("compound") or {}
     mode = aff["flag_mode"]
-    flags = _split_flags(flag_field.strip(), mode)
-    sfx = [r for f in flags for r in rules.get(f, []) if r.kind == "SFX"]
-    pfx = [r for f in flags for r in rules.get(f, []) if r.kind == "PFX"]
-    seen = {word}
+    flags = _split_flags(flag_field.strip(), mode) if flag_field else ()
+    base_pos = ""
+    if comp:
+        if comp.get("any") in flags:
+            base_pos = "bme"
+        else:
+            base_pos = "".join(
+                t for t, k in (("b", "begin"), ("m", "middle"), ("e", "end"))
+                if comp.get(k) in flags
+            )
+    base_tags = ("" if comp.get("onlyin") in flags else "s") + base_pos
+    order: list[str] = [word]
+    tags: dict[str, str] = {word: base_tags}
 
-    def add(w: "str | None") -> bool:
-        if w and w not in seen:
-            seen.add(w)
-            forms.append(w)
-            return True
-        return False
-
-    def add_cont(form: "str | None", rule: AffixRule) -> None:
-        # two-fold stripping: the appendage's continuation flags apply
-        # their rule groups to the affixed form — exactly ONE extra
-        # level (hunspell allows at most two suffixes; suffix-then-
-        # prefix also arrives through a PFX continuation rule)
-        if not form or not rule.cont:
+    def add(w: "str | None", tag: str) -> None:
+        if not w:
             return
-        for f in _split_flags(rule.cont.strip(), mode):
-            for r2 in rules.get(f, []):
-                add(_apply(r2, form))
+        if w not in tags:
+            order.append(w)
+            tags[w] = tag
+        else:
+            tags[w] = tags[w] + "".join(c for c in tag if c not in tags[w])
 
-    for r in sfx:
-        suffixed = _apply(r, word)
-        add(suffixed)
-        add_cont(suffixed, r)
-        if suffixed and r.cross:
-            # PFX×SFX cross product (both rules must be cross=Y)
-            for p in pfx:
-                if p.cross:
-                    add(_apply(p, suffixed))
-    for p in pfx:
-        prefixed = _apply(p, word)
-        add(prefixed)
-        add_cont(prefixed, p)
-    return forms
+    if flag_field:
+        rules = aff["rules"]
+        sfx = [r for f in flags for r in rules.get(f, []) if r.kind == "SFX"]
+        pfx = [r for f in flags for r in rules.get(f, []) if r.kind == "PFX"]
+        # edge participation of affixed forms follows the BASE's flags
+        sfx_tag = "s" + ("e" if "e" in base_pos else "")
+        pfx_tag = "s" + ("b" if "b" in base_pos else "")
+
+        def add_cont(form: "str | None", rule: AffixRule) -> None:
+            # two-fold stripping: the appendage's continuation flags
+            # apply their rule groups to the affixed form — exactly ONE
+            # extra level (hunspell allows at most two suffixes;
+            # suffix-then-prefix also arrives through a PFX
+            # continuation rule)
+            if not form or not rule.cont:
+                return
+            for f in _split_flags(rule.cont.strip(), mode):
+                for r2 in rules.get(f, []):
+                    add(_apply(r2, form), sfx_tag if r2.kind == "SFX" else pfx_tag)
+
+        for r in sfx:
+            suffixed = _apply(r, word)
+            add(suffixed, sfx_tag)
+            add_cont(suffixed, r)
+            if suffixed and r.cross:
+                # PFX×SFX cross product (both rules must be cross=Y);
+                # doubly-affixed → standalone only
+                for p in pfx:
+                    if p.cross:
+                        add(_apply(p, suffixed), "s")
+        for p in pfx:
+            prefixed = _apply(p, word)
+            add(prefixed, pfx_tag)
+            add_cont(prefixed, p)
+    return [(w, tags[w]) for w in order]
+
+
+def expand_entry(entry: str, aff: dict) -> list[str]:
+    """One ``.dic`` line ("word" or "word/FLAGS") → all surface forms
+    (base + suffixed + prefixed + cross-products + one two-fold
+    continuation level), deduped, base first."""
+    return [w for w, _ in expand_entry_tagged(entry, aff)]
+
+
+def apply_iconv(word: str, pairs: "tuple[tuple[str, str], ...]") -> str:
+    """Hunspell ICONV: single left-to-right pass, longest match wins at
+    each position, each input char converted at most once. ``pairs``
+    must be pre-sorted longest-``from`` first (``iconv_sorted``)."""
+    if not pairs:
+        return word
+    out = []
+    i = 0
+    n = len(word)
+    while i < n:
+        for frm, to in pairs:
+            if word.startswith(frm, i):
+                out.append(to)
+                i += len(frm)
+                break
+        else:
+            out.append(word[i])
+            i += 1
+    return "".join(out)
+
+
+def iconv_sorted(pairs: "list[tuple[str, str]]") -> "tuple[tuple[str, str], ...]":
+    return tuple(sorted(pairs, key=lambda p: -len(p[0])))
+
+
+@dataclass(frozen=True)
+class CompoundLexicon:
+    """Acceptance oracle for hunspell compound words: a word is IV if
+    it is a standalone form, or splits into ≥2 parts (first ∈ begin,
+    middles ∈ middle, last ∈ end, each ≥ ``cmin`` chars, ≤ ``wordmax``
+    parts) — a DP over split points, memoized per word. Intended use:
+    only on words that MISSED the exact lexicon join, so the DP never
+    runs on the in-vocabulary bulk."""
+
+    standalone: frozenset
+    begin: frozenset
+    middle: frozenset
+    end: frozenset
+    cmin: int = 3
+    wordmax: "int | None" = None
+    checkdup: bool = False
+    checktriple: bool = False
+    iconv: "tuple[tuple[str, str], ...]" = ()
+
+    def convert(self, word: str) -> str:
+        return apply_iconv(word, self.iconv)
+
+    def accepts(self, word: str) -> bool:
+        if word in self.standalone:
+            return True
+        return self.accepts_compound(word)
+
+    def accepts_compound(self, word: str) -> bool:
+        n = len(word)
+        cmin = max(1, self.cmin)
+        if not self.begin or not self.end or n < 2 * cmin:
+            return False
+        track_prev = self.checkdup or self.checktriple
+        cap = self.wordmax if self.wordmax is not None else 2
+        memo: dict = {}
+
+        def rest(pos: int, count: int, prev: str) -> bool:
+            if pos == n:
+                return count >= 2
+            if self.wordmax is not None and count >= self.wordmax:
+                return False
+            key = (pos, min(count, cap), prev if track_prev else "")
+            if key in memo:
+                return memo[key]
+            ok = False
+            first = pos == 0
+            for j in range(pos + cmin, n + 1):
+                last = j == n
+                if first and last:
+                    continue  # a single part is not a compound
+                part = word[pos:j]
+                req = self.begin if first else (self.end if last else self.middle)
+                if part not in req:
+                    continue
+                if prev:
+                    if self.checkdup and part == prev:
+                        continue
+                    if (
+                        self.checktriple
+                        and prev[-1] == part[0]
+                        and (prev[-2:] == prev[-1] * 2 or part[:2] == part[0] * 2)
+                    ):
+                        continue
+                if rest(j, count + 1, part):
+                    ok = True
+                    break
+            memo[key] = ok
+            return ok
+
+        return rest(0, 0, "")
+
+
+def build_compound_lexicon(
+    tagged: "list[tuple[str, str]]", aff: dict, lower: bool = True
+) -> CompoundLexicon:
+    """(form, tags) pairs (from ``expand_entry_tagged``) + parsed
+    ``.aff`` → a broadcast-ready :class:`CompoundLexicon`. Lowercases
+    by default to match ``mark_words``'s case-folded join."""
+    comp = aff.get("compound") or {}
+    sets: dict[str, set] = {"s": set(), "b": set(), "m": set(), "e": set()}
+    for form, tags in tagged:
+        w = form.lower() if lower else form
+        for t in tags:
+            sets[t].add(w)
+    return CompoundLexicon(
+        standalone=frozenset(sets["s"]),
+        begin=frozenset(sets["b"]),
+        middle=frozenset(sets["m"]),
+        end=frozenset(sets["e"]),
+        cmin=comp.get("min", 3),
+        wordmax=comp.get("wordmax"),
+        checkdup=bool(comp.get("checkdup")),
+        checktriple=bool(comp.get("checktriple")),
+        iconv=iconv_sorted(aff.get("iconv") or []),
+    )

@@ -83,7 +83,7 @@ def lexicon_from_wordlist(
             .filter(F.col("entry") != "")
             .distinct()
         )
-    from ..corelib.affix import expand_entry, parse_aff
+    from ..corelib.affix import expand_entry_tagged, parse_aff
 
     with open(aff_path, encoding="utf-8", errors="replace") as f:
         aff = parse_aff(f.read())
@@ -92,7 +92,10 @@ def lexicon_from_wordlist(
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def expand_udf(entries: pd.Series) -> pd.Series:
         rules = aff_b.value
-        return entries.map(lambda e: expand_entry(e, rules))
+        # ONLYINCOMPOUND forms are parts, not words — keep standalone
+        return entries.map(
+            lambda e: [w for w, t in expand_entry_tagged(e, rules) if "s" in t]
+        )
 
     return (
         lines.select(F.explode(expand_udf(F.col("raw"))).alias("entry"))
@@ -101,24 +104,125 @@ def lexicon_from_wordlist(
     )
 
 
-def mark_words(words: DataFrame, lexicon: DataFrame) -> DataFrame:
+def compound_lexicon_from_dic(spark, path: str, aff_path: "str | None" = None):
+    """Hunspell COMPOUND*/ICONV acceptance for :func:`mark_words`
+    (wrapper/mark.py:59-69 shells out to hunspell, which resolves
+    German-style compounds at lookup time — unboundedly many surface
+    forms, so they cannot be pre-expanded into the join lexicon).
+    Returns a broadcast-ready :class:`~..corelib.affix.CompoundLexicon`
+    or ``None`` when the ``.aff`` carries no COMPOUND*/ICONV
+    directives. The tagged expansion runs distributed; only the
+    dictionary-bounded distinct (form, tags) pairs are collected."""
+    import os
+
+    from ..corelib.affix import build_compound_lexicon, expand_entry_tagged, parse_aff
+
+    if aff_path is None and path.endswith(".dic"):
+        sibling = path[: -len(".dic")] + ".aff"
+        if os.path.exists(sibling):
+            aff_path = sibling
+    if aff_path is None:
+        return None
+    with open(aff_path, encoding="utf-8", errors="replace") as f:
+        aff = parse_aff(f.read())
+    if not aff.get("compound") and not aff.get("iconv"):
+        return None
+    aff_b = spark.sparkContext.broadcast(aff)
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("form", T.StringType()),
+                    T.StructField("tags", T.StringType()),
+                ]
+            )
+        )
+    )
+    def tagged_udf(entries: pd.Series) -> pd.Series:
+        rules = aff_b.value
+        return entries.map(lambda e: expand_entry_tagged(e, rules))
+
+    rows = (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("raw"))
+        .filter((F.col("raw") != "") & ~F.col("raw").rlike("^[0-9]+$"))
+        .select(F.explode(tagged_udf(F.col("raw"))).alias("ft"))
+        .select(F.col("ft.form").alias("form"), F.col("ft.tags").alias("tags"))
+        .filter(F.col("form") != "")
+        .distinct()
+        .collect()
+    )
+    return build_compound_lexicon([(r["form"], r["tags"]) for r in rows], aff)
+
+
+def _compound_udfs(spark, compound):
+    """(normalize, accepts) pandas UDFs over a broadcast
+    :class:`~..corelib.affix.CompoundLexicon` (ICONV single-pass
+    conversion; compound-DP acceptance). ``accepts`` runs the split DP
+    only — standalone forms are already covered by the exact join."""
+    comp_b = spark.sparkContext.broadcast(compound)
+
+    @F.pandas_udf(T.StringType())
+    def iconv_udf(word: pd.Series) -> pd.Series:
+        lex = comp_b.value
+        return word.map(lambda w: lex.convert(w) if w else w)
+
+    @F.pandas_udf(T.BooleanType())
+    def accepts_udf(normed: pd.Series, oov: pd.Series) -> pd.Series:
+        # the DP runs only on join-miss rows (oov=True); the ArrowEval
+        # node sees every row, so the skip lives inside the batch
+        lex = comp_b.value
+        return pd.Series(
+            [bool(o) and bool(w) and lex.accepts_compound(w)
+             for w, o in zip(normed, oov)]
+        )
+
+    return iconv_udf, accepts_udf
+
+
+def mark_words(words: DataFrame, lexicon: DataFrame, compound=None) -> DataFrame:
     """IV/OOV marking: normalized word broadcast-joined against the
-    lexicon (column ``entry``). Returns words + ``oov`` flag."""
-    normed = words.withColumn("normed", F.lower(asword_udf(F.col("word"))))
+    lexicon (column ``entry``). Returns words + ``oov`` flag.
+
+    With ``compound`` (a :class:`~..corelib.affix.CompoundLexicon`
+    from :func:`compound_lexicon_from_dic`), hunspell semantics extend
+    the join: ICONV conversion is applied inside the normalization, and
+    words that MISS the exact join get a compound split-DP rescue pass
+    — an Arrow-batched UDF over the broadcast part sets, touching only
+    the (small) OOV residue, never the in-vocabulary bulk."""
+    iconv_udf = accepts_udf = None
+    if compound is not None:
+        iconv_udf, accepts_udf = _compound_udfs(words.sparkSession, compound)
+    norm_col = F.lower(asword_udf(F.col("word")))
+    if compound is not None and compound.iconv:
+        norm_col = F.lower(asword_udf(iconv_udf(F.col("word"))))
+    normed = words.withColumn("normed", norm_col)
     lex = lexicon.select(F.lower(F.col("entry")).alias("normed")).distinct()
     hit = normed.join(F.broadcast(lex), "normed", "left_semi").select(
         "doc_id", "line_no", "word_idx"
     ).withColumn("iv", F.lit(True))
-    return (
+    marked = (
         normed.join(hit, ["doc_id", "line_no", "word_idx"], "left")
         .withColumn("oov", F.coalesce(~F.col("iv"), F.lit(True)))
         .drop("iv")
     )
+    if compound is None:
+        return marked
+    return marked.withColumn(
+        "oov",
+        F.col("oov")
+        & ~F.coalesce(accepts_udf(F.col("normed"), F.col("oov")), F.lit(False)),
+    )
 
 
-def dehyphenate_recheck(marked: DataFrame, lexicon: DataFrame) -> DataFrame:
+def dehyphenate_recheck(
+    marked: DataFrame, lexicon: DataFrame, compound=None
+) -> DataFrame:
     """W6: a line-final word ending in a hyphen joins the next line's
-    first word; if the joined form is in-vocabulary, unmark both."""
+    first word; if the joined form is in-vocabulary, unmark both.
+    ``compound`` extends the joined-form check with the hunspell
+    compound DP (rejoined German compounds are the canonical case)."""
     w_line = Window.partitionBy("doc_id", "line_no")
     w_doc = Window.partitionBy("doc_id").orderBy("line_no", "word_idx")
     df = marked.withColumn("max_idx", F.max("word_idx").over(w_line))
@@ -140,12 +244,20 @@ def dehyphenate_recheck(marked: DataFrame, lexicon: DataFrame) -> DataFrame:
     )
     cand = df.withColumn("joined", F.when(hyph, F.lower(asword_udf(joined))))
     lex = lexicon.select(F.lower(F.col("entry")).alias("joined")).distinct()
-    hit = (
+    exact = (
         cand.filter(F.col("joined").isNotNull())
         .join(F.broadcast(lex), "joined", "left_semi")
         .select("doc_id", "line_no", "word_idx")
-        .withColumn("dehyph_iv", F.lit(True))
     )
+    if compound is not None:
+        _, accepts_udf = _compound_udfs(marked.sparkSession, compound)
+        comp_hit = (
+            cand.filter(F.col("joined").isNotNull())
+            .filter(accepts_udf(F.col("joined"), F.lit(True)))
+            .select("doc_id", "line_no", "word_idx")
+        )
+        exact = exact.unionByName(comp_hit).distinct()
+    hit = exact.withColumn("dehyph_iv", F.lit(True))
     out = cand.join(hit, ["doc_id", "line_no", "word_idx"], "left")
     # unmark the hyphenated half; its continuation is unmarked via the
     # same join on the following row

@@ -386,3 +386,189 @@ def test_affix_expansion_properties():
             assert forms == [word]
 
     check()
+
+
+def test_compound_parse_and_acceptance_unit():
+    """Hunspell COMPOUND* subset (wrapper/mark.py:59-69 shells out to
+    hunspell, which resolves compounds at lookup): positional flags,
+    COMPOUNDMIN, COMPOUNDWORDMAX, ONLYINCOMPOUND, CHECKCOMPOUNDDUP,
+    CHECKCOMPOUNDTRIPLE, ICONV."""
+    from cor_asv_ann_spark.corelib.affix import (
+        apply_iconv,
+        build_compound_lexicon,
+        expand_entry_tagged,
+        iconv_sorted,
+        parse_aff,
+    )
+
+    aff = parse_aff(
+        "SET UTF-8\n"
+        "COMPOUNDBEGIN B\nCOMPOUNDMIDDLE M\nCOMPOUNDEND E\n"
+        "COMPOUNDMIN 3\nCOMPOUNDWORDMAX 3\nONLYINCOMPOUND o\n"
+        "CHECKCOMPOUNDDUP\nCHECKCOMPOUNDTRIPLE\n"
+        "ICONV 1\nICONV ’ '\n"
+    )
+    assert aff["compound"] == {
+        "begin": "B", "middle": "M", "end": "E",
+        "min": 3, "wordmax": 3, "onlyin": "o",
+        "checkdup": True, "checktriple": True,
+    }
+    assert aff["iconv"] == [("’", "'")]
+
+    tagged = []
+    for e in ["dampf/BM", "schiff/BM", "fahrt/E", "werk/oE", "berg/B"]:
+        tagged += expand_entry_tagged(e, aff)
+    # ONLYINCOMPOUND entry is a part, never a standalone word
+    assert ("werk", "e") in tagged
+    lex = build_compound_lexicon(tagged, aff)
+    assert "werk" not in lex.standalone and "werk" in lex.end
+    assert lex.accepts_compound("dampffahrt")           # B+E
+    assert lex.accepts_compound("dampfschifffahrt") is False  # TRIPLE at junction
+    assert lex.accepts_compound("bergwerk")             # B + onlyin-E
+    assert not lex.accepts_compound("fahrtdampf")       # E can't begin
+    assert not lex.accepts_compound("werk")             # single part ≠ compound
+    assert not lex.accepts_compound("dampfschiffschifffahrt")  # DUP + WORDMAX
+    assert not lex.accepts_compound("dampfschiffdampffahrt")   # 4 parts > WORDMAX 3
+    # COMPOUNDMIN: a 2-char part can't participate
+    tagged2 = tagged + expand_entry_tagged("ab/B", aff)
+    lex2 = build_compound_lexicon(tagged2, aff)
+    assert not lex2.accepts_compound("abfahrt")
+
+    # without CHECKCOMPOUNDTRIPLE the tripled junction is fine
+    aff3 = parse_aff("COMPOUNDFLAG X\nCOMPOUNDMIN 3\n")
+    t3 = [p for e in ["dampf/X", "schiff/X", "fahrt/X"]
+          for p in expand_entry_tagged(e, aff3)]
+    lex3 = build_compound_lexicon(t3, aff3)
+    assert lex3.accepts_compound("dampfschifffahrt")
+    assert lex3.accepts("dampf")  # standalone via the base form
+
+    assert apply_iconv("fin’s", iconv_sorted(aff["iconv"])) == "fin's"
+    # longest match wins, each char converted at most once
+    pairs = iconv_sorted([("a", "b"), ("aa", "c")])
+    assert apply_iconv("aaa", pairs) == "cb"
+
+
+def test_compound_dp_vs_generation_oracle():
+    """Property: the split-point DP must agree with an independent
+    GENERATION oracle that enumerates all begin·middle*·end part
+    sequences (≤ wordmax parts, adjacent-dup filter) and tests string
+    equality — the opposite direction of the parser."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cor_asv_ann_spark.corelib.affix import CompoundLexicon
+
+    parts = st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=3), min_size=1, max_size=4,
+        unique=True,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        begin=parts, middle=parts, end=parts,
+        word=st.text(alphabet="ab", min_size=2, max_size=8),
+        wordmax=st.integers(min_value=2, max_value=4),
+        dup=st.booleans(),
+    )
+    def check(begin, middle, end, word, wordmax, dup):
+        lex = CompoundLexicon(
+            standalone=frozenset(),
+            begin=frozenset(begin), middle=frozenset(middle),
+            end=frozenset(end),
+            cmin=1, wordmax=wordmax, checkdup=dup,
+        )
+
+        def gen(prefix, count, prev):
+            # next part is an END (finishing) or a BEGIN/MIDDLE part
+            if count + 1 <= wordmax and count + 1 >= 2:
+                for p in end:
+                    if dup and p == prev:
+                        continue
+                    if prefix + p == word:
+                        return True
+            nxt = begin if count == 0 else middle
+            if count + 2 <= wordmax:  # must leave room for the end part
+                for p in nxt:
+                    if dup and p == prev:
+                        continue
+                    if word.startswith(prefix + p):
+                        if gen(prefix + p, count + 1, p):
+                            return True
+            return False
+
+        assert lex.accepts_compound(word) == gen("", 0, "")
+
+    check()
+
+
+def test_mark_with_compound_lexicon(spark, tmp_path):
+    """End to end: a German-style .dic/.aff with COMPOUNDFLAG — the
+    compound 'Dampfschifffahrt' (never listed as an entry) stops being
+    over-marked OOV, an ONLYINCOMPOUND part stays OOV standalone, and
+    a hyphenated compound rejoins through dehyphenate_recheck."""
+    from cor_asv_ann_spark.operators.mark import (
+        compound_lexicon_from_dic,
+        lexicon_from_wordlist,
+        words_from_spans,
+    )
+
+    (tmp_path / "de.aff").write_text(
+        "SET UTF-8\nCOMPOUNDFLAG X\nCOMPOUNDMIN 4\nONLYINCOMPOUND o\n"
+        "ICONV 1\nICONV ’ '\n"
+        "SFX N Y 1\nSFX N aus äuser aus\n",
+        encoding="utf-8",
+    )
+    (tmp_path / "de.dic").write_text(
+        "5\nDampf/X\nSchiff/X\nFahrt/X\nHaus/NX\nwerks/oX\n", encoding="utf-8"
+    )
+    lex = lexicon_from_wordlist(spark, str(tmp_path / "de.dic"))
+    # ONLYINCOMPOUND form is excluded from the standalone join lexicon
+    assert "werks" not in {r.entry for r in lex.collect()}
+    comp = compound_lexicon_from_dic(spark, str(tmp_path / "de.dic"))
+    assert comp is not None and comp.cmin == 4
+
+    spans = spark.createDataFrame(
+        [
+            Row(
+                doc_id="d1",
+                spans=[
+                    Row(kind="word", text="Dampfschifffahrt", media_ref="r0", offset=0),
+                    Row(kind="space", text=" ", media_ref=None, offset=1),
+                    Row(kind="word", text="werks", media_ref="r1", offset=2),
+                    Row(kind="space", text=" ", media_ref=None, offset=3),
+                    Row(kind="word", text="Dampfwerks", media_ref="r2", offset=4),
+                    Row(kind="space", text=" ", media_ref=None, offset=5),
+                    Row(kind="word", text="Häuser", media_ref="r3", offset=6),
+                    Row(kind="space", text=" ", media_ref=None, offset=7),
+                    Row(kind="word", text="Qqqq", media_ref="r4", offset=8),
+                    Row(kind="newline", text="\n", media_ref=None, offset=9),
+                    Row(kind="word", text="Dampf-", media_ref="r5", offset=10),
+                    Row(kind="newline", text="\n", media_ref=None, offset=11),
+                    Row(kind="word", text="fahrt", media_ref="r6", offset=12),
+                    Row(kind="newline", text="\n", media_ref=None, offset=13),
+                ],
+            )
+        ],
+        schema=SPANS_SCHEMA,
+    )
+    words = words_from_spans(spans)
+    marked = mark_words(words, lex, compound=comp)
+    flags = {r.word: r.oov for r in marked.collect()}
+    assert flags["Dampfschifffahrt"] is False  # compound DP rescue
+    assert flags["werks"] is True              # only-in-compound alone
+    assert flags["Dampfwerks"] is False        # compound with onlyin end part
+    assert flags["Häuser"] is False            # affix expansion still works
+    assert flags["Qqqq"] is True
+    # hyphenated across lines: Dampf- + fahrt → compound via recheck
+    assert flags["Dampf-"] is False            # 'dampf' is standalone IV
+    assert flags["fahrt"] is False
+    rechecked = dehyphenate_recheck(marked, lex, compound=comp)
+    flags2 = {r.word: r.oov for r in rechecked.collect()}
+    assert flags2["Dampf-"] is False and flags2["fahrt"] is False
+
+    # without the compound lexicon the compound IS over-marked — the
+    # regression this closes
+    marked_plain = mark_words(words, lex)
+    assert {r.word: r.oov for r in marked_plain.collect()}[
+        "Dampfschifffahrt"
+    ] is True
