@@ -198,13 +198,19 @@ def mark_words(words: DataFrame, lexicon: DataFrame, compound=None) -> DataFrame
     if compound is not None and compound.iconv:
         norm_col = F.lower(asword_udf(iconv_udf(F.col("word"))))
     normed = words.withColumn("normed", norm_col)
-    lex = lexicon.select(F.lower(F.col("entry")).alias("normed")).distinct()
-    hit = normed.join(F.broadcast(lex), "normed", "left_semi").select(
-        "doc_id", "line_no", "word_idx"
-    ).withColumn("iv", F.lit(True))
+    # single broadcast LEFT join against the deduped lexicon: the old
+    # semi-join + key-back-join shape rebroadcast a CORPUS-sized hit
+    # relation (or shuffled on row keys at scale) — one narrow
+    # broadcast join computes the same oov flag with zero exchanges
+    # on the words side
+    lex = (
+        lexicon.select(F.lower(F.col("entry")).alias("normed"))
+        .distinct()
+        .withColumn("iv", F.lit(True))
+    )
     marked = (
-        normed.join(hit, ["doc_id", "line_no", "word_idx"], "left")
-        .withColumn("oov", F.coalesce(~F.col("iv"), F.lit(True)))
+        normed.join(F.broadcast(lex), "normed", "left")
+        .withColumn("oov", F.col("iv").isNull())
         .drop("iv")
     )
     if compound is None:
@@ -243,31 +249,33 @@ def dehyphenate_recheck(
         F.expr("substring(word, 1, length(word) - 1)"), F.col("next_word")
     )
     cand = df.withColumn("joined", F.when(hyph, F.lower(asword_udf(joined))))
-    lex = lexicon.select(F.lower(F.col("entry")).alias("joined")).distinct()
-    exact = (
-        cand.filter(F.col("joined").isNotNull())
-        .join(F.broadcast(lex), "joined", "left_semi")
-        .select("doc_id", "line_no", "word_idx")
+    # one broadcast LEFT join computes the joined-form IV flag in place
+    # (the old semi-join + two key-back-joins shuffled corpus-sized hit
+    # relations at scale); the continuation row is simply the NEXT row
+    # in doc order, so its unmark is a lag() over the window the lead()
+    # above already paid for — zero extra exchanges
+    lex = (
+        lexicon.select(F.lower(F.col("entry")).alias("joined"))
+        .distinct()
+        .withColumn("lex_iv", F.lit(True))
     )
+    out = cand.join(F.broadcast(lex), "joined", "left")
+    dehyph_iv = F.col("joined").isNotNull() & F.col("lex_iv").isNotNull()
     if compound is not None:
         _, accepts_udf = _compound_udfs(marked.sparkSession, compound)
-        comp_hit = (
-            cand.filter(F.col("joined").isNotNull())
-            .filter(accepts_udf(F.col("joined"), F.lit(True)))
-            .select("doc_id", "line_no", "word_idx")
+        dehyph_iv = dehyph_iv | (
+            F.col("joined").isNotNull()
+            & F.coalesce(
+                accepts_udf(F.col("joined"), F.col("joined").isNotNull()),
+                F.lit(False),
+            )
         )
-        exact = exact.unionByName(comp_hit).distinct()
-    hit = exact.withColumn("dehyph_iv", F.lit(True))
-    out = cand.join(hit, ["doc_id", "line_no", "word_idx"], "left")
-    # unmark the hyphenated half; its continuation is unmarked via the
-    # same join on the following row
-    cont = hit.select(
-        "doc_id", (F.col("line_no") + 1).alias("line_no"), F.lit(0).alias("word_idx")
-    ).withColumn("cont_iv", F.lit(True))
-    out = out.join(cont, ["doc_id", "line_no", "word_idx"], "left")
+    out = out.withColumn("dehyph_iv", dehyph_iv).withColumn(
+        "cont_iv", F.coalesce(F.lag("dehyph_iv").over(w_doc), F.lit(False))
+    )
     return out.withColumn(
         "oov",
-        F.col("oov") & F.col("dehyph_iv").isNull() & F.col("cont_iv").isNull(),
+        F.col("oov") & ~F.col("dehyph_iv") & ~F.col("cont_iv"),
     ).select("doc_id", "line_no", "word_idx", "word", "normed", "oov")
 
 

@@ -178,8 +178,12 @@ def test_stateful_path_single_doc_exchange(spark, sf_small):
 
 def test_mark_affix_lexicon_broadcasts(spark, sf_small, tmp_path):
     """The affix-expanded lexicon is tiny (dictionary-bounded) — the
-    IV/OOV marking must be a broadcast left-semi join, never a shuffle
-    or cartesian over the corpus words."""
+    IV/OOV marking must be EXACTLY ONE broadcast left join against the
+    lexicon, never a shuffle join, a cartesian, or a corpus-sized
+    self-join (the old semi-join + key-back-join shape rebroadcast a
+    hit relation proportional to the corpus)."""
+    import re
+
     from cor_asv_ann_spark.operators.mark import (
         lexicon_from_wordlist,
         mark_words,
@@ -193,7 +197,10 @@ def test_mark_affix_lexicon_broadcasts(spark, sf_small, tmp_path):
     plan = formatted_plan(mark_words(words, lex))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert has_broadcast_join(plan) or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # formatted plans name each node twice (tree line + "(n) Node"
+    # detail header) — count detail headers
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
 
 
 def test_pagexml_ingest_single_wide_exchange(spark, tmp_path):
