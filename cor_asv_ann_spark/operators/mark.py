@@ -35,6 +35,31 @@ def asword_udf(word: pd.Series) -> pd.Series:
     return word.map(norm)
 
 
+def asword_normalizer(charmap: "dict[str, str] | None"):
+    """``asword`` with the mark processor's ``normalization`` charmap
+    applied first (wrapper/mark.py:60-62: SEQUENTIAL str.replace — the
+    mappings here are m:n, e.g. ``a\\u0364``→``ä``, so maketrans does
+    not apply; the reference iterates replace() and so do we). With no
+    charmap this is exactly :func:`asword_udf`."""
+    if not charmap:
+        return asword_udf
+    items = tuple(charmap.items())
+
+    @F.pandas_udf(T.StringType())
+    def norm_udf(word: pd.Series) -> pd.Series:
+        def norm(w: str) -> str:
+            w = w or ""
+            for nfrom, nto in items:
+                w = w.replace(nfrom, nto)
+            return "".join(
+                c for c in w if unicodedata.category(c)[0] in ("L", "M")
+            )
+
+        return word.map(norm)
+
+    return norm_udf
+
+
 def words_from_spans(spans_df: DataFrame) -> DataFrame:
     """Spans table → one row per word span with line/word positions."""
     from .correction import spans_with_line_no
@@ -181,7 +206,9 @@ def _compound_udfs(spark, compound):
     return iconv_udf, accepts_udf
 
 
-def mark_words(words: DataFrame, lexicon: DataFrame, compound=None) -> DataFrame:
+def mark_words(
+    words: DataFrame, lexicon: DataFrame, compound=None, charmap=None
+) -> DataFrame:
     """IV/OOV marking: normalized word broadcast-joined against the
     lexicon (column ``entry``). Returns words + ``oov`` flag.
 
@@ -194,9 +221,10 @@ def mark_words(words: DataFrame, lexicon: DataFrame, compound=None) -> DataFrame
     iconv_udf = accepts_udf = None
     if compound is not None:
         iconv_udf, accepts_udf = _compound_udfs(words.sparkSession, compound)
-    norm_col = F.lower(asword_udf(F.col("word")))
+    asword = asword_normalizer(charmap)
+    norm_col = F.lower(asword(F.col("word")))
     if compound is not None and compound.iconv:
-        norm_col = F.lower(asword_udf(iconv_udf(F.col("word"))))
+        norm_col = F.lower(asword(iconv_udf(F.col("word"))))
     normed = words.withColumn("normed", norm_col)
     # single broadcast LEFT join against the deduped lexicon: the old
     # semi-join + key-back-join shape rebroadcast a CORPUS-sized hit
@@ -223,7 +251,7 @@ def mark_words(words: DataFrame, lexicon: DataFrame, compound=None) -> DataFrame
 
 
 def dehyphenate_recheck(
-    marked: DataFrame, lexicon: DataFrame, compound=None
+    marked: DataFrame, lexicon: DataFrame, compound=None, charmap=None
 ) -> DataFrame:
     """W6: a line-final word ending in a hyphen joins the next line's
     first word; if the joined form is in-vocabulary, unmark both.
@@ -248,7 +276,9 @@ def dehyphenate_recheck(
     joined = F.concat(
         F.expr("substring(word, 1, length(word) - 1)"), F.col("next_word")
     )
-    cand = df.withColumn("joined", F.when(hyph, F.lower(asword_udf(joined))))
+    cand = df.withColumn(
+        "joined", F.when(hyph, F.lower(asword_normalizer(charmap)(joined)))
+    )
     # one broadcast LEFT join computes the joined-form IV flag in place
     # (the old semi-join + two key-back-joins shuffled corpus-sized hit
     # relations at scale); the continuation row is simply the NEXT row
@@ -273,10 +303,13 @@ def dehyphenate_recheck(
     out = out.withColumn("dehyph_iv", dehyph_iv).withColumn(
         "cont_iv", F.coalesce(F.lag("dehyph_iv").over(w_doc), F.lit(False))
     )
+    keep = ["doc_id", "line_no", "word_idx", "word", "normed", "oov"]
+    if "offset" in marked.columns:
+        keep.insert(4, "offset")  # pass through for span write-back
     return out.withColumn(
         "oov",
         F.col("oov") & ~F.col("dehyph_iv") & ~F.col("cont_iv"),
-    ).select("doc_id", "line_no", "word_idx", "word", "normed", "oov")
+    ).select(*keep)
 
 
 def mark_counters(marked: DataFrame) -> DataFrame:

@@ -449,10 +449,18 @@ def _sub(parent, name: str, **attrs):
     return el
 
 
-def _add_te(parent, uni: str, conf: float, index: int | None = None) -> None:
+def _add_te(
+    parent,
+    uni: str,
+    conf: float,
+    index: int | None = None,
+    comments: str | None = None,
+) -> None:
     attrs = {"conf": f"{conf:.4f}"}
     if index is not None:
         attrs["index"] = str(index)
+    if comments is not None:
+        attrs["comments"] = comments
     te = _sub(parent, "TextEquiv", **attrs)
     _sub(te, "Unicode").text = uni
 
@@ -612,6 +620,7 @@ def render_page_xml(
     spans: list[tuple[str, str, str | None, int]],
     confs: list[float] | None = None,
     image_filename: str | None = None,
+    comments: "list[str | None] | None" = None,
 ) -> bytes:
     """Ordered span list → PAGE-XML bytes (one TextRegion; lines split
     at newline spans; word/glyph spans regrouped into Word/Glyph
@@ -641,14 +650,17 @@ def render_page_xml(
     def ided(eid: str | None, fallback: str) -> str:
         return eid if eid else fallback
 
-    # split into lines at newline spans (a trailing open line counts)
-    lines: list[list[tuple[str, str, str | None, float]]] = [[]]
+    # split into lines at newline spans (a trailing open line counts);
+    # `comments` (aligned with spans, e.g. the mark processor's OOV
+    # annotation) lands on word-span TextEquiv/@comments
+    lines: list[list[tuple[str, str, str | None, float, str | None]]] = [[]]
     for i, (kind, text, ref, _off) in enumerate(spans):
         conf = float(confs[i]) if confs is not None and i < len(confs) else 1.0
+        cmt = comments[i] if comments is not None and i < len(comments) else None
         if kind == "newline":
             lines.append([])
         else:
-            lines[-1].append((kind, text, ref, conf))
+            lines[-1].append((kind, text, ref, conf, cmt))
     if not lines[-1]:
         lines.pop()
 
@@ -656,7 +668,7 @@ def render_page_xml(
         if not line_spans:
             continue
         # line id/Coords ONLY from a line-grain anchor ('line' spans)
-        line_ref = next((r for k, _, r, _ in line_spans if k == "line" and r),
+        line_ref = next((r for k, _, r, _, _ in line_spans if k == "line" and r),
                         None)
         lid, lpoints = _anchor_parts(line_ref)
         tline = _sub(region, "TextLine", id=ided(lid, f"{doc_id}_l{li}"))
@@ -686,7 +698,7 @@ def render_page_xml(
             wi += 1
             cur_glyphs = []
 
-        for kind, text, ref, conf in line_spans:
+        for kind, text, ref, conf, cmt in line_spans:
             if kind == "glyph":
                 cur_glyphs.append((text, ref, conf))
                 line_parts.append(text)
@@ -696,7 +708,7 @@ def render_page_xml(
                 word = _sub(tline, "Word",
                             id=ided(wid, f"{doc_id}_l{li}_w{wi}"))
                 add_coords(word, wpoints)
-                _add_te(word, text, conf)
+                _add_te(word, text, conf, comments=cmt)
                 wi += 1
                 line_parts.append(text)
             elif kind == "space":
@@ -707,7 +719,7 @@ def render_page_xml(
             # media spans carry no text: dropped from the page DOM
         flush_glyph_word()
         add_coords(tline, lpoints)
-        line_confs_ = [c for _, _, _, c in line_spans] or [1.0]
+        line_confs_ = [c for _, _, _, c, _ in line_spans] or [1.0]
         _add_te(tline, "".join(line_parts),
                 sum(line_confs_) / len(line_confs_))
     return ET.tostring(root, encoding="utf-8", xml_declaration=True)
@@ -726,6 +738,7 @@ def write_pagexml_corpus(spans_df: DataFrame, out_dir: str) -> int:
 
     os.makedirs(out_dir, exist_ok=True)
     has_confs = "span_confs" in spans_df.columns
+    has_comments = "span_comments" in spans_df.columns
 
     def write_part(batches):
         import pandas as pd
@@ -742,7 +755,14 @@ def write_pagexml_corpus(spans_df: DataFrame, out_dir: str) -> int:
                     if has_confs and row["span_confs"] is not None
                     else None
                 )
-                data = render_page_xml(str(row["doc_id"]), spans, confs=confs)
+                comments = (
+                    [c if c else None for c in row["span_comments"]]
+                    if has_comments and row["span_comments"] is not None
+                    else None
+                )
+                data = render_page_xml(
+                    str(row["doc_id"]), spans, confs=confs, comments=comments
+                )
                 with open(
                     os.path.join(out_dir, f"{row['doc_id']}.xml"), "wb"
                 ) as f:

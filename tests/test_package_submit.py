@@ -293,3 +293,58 @@ def test_read_files_ordered_probline_charmap_and_formfeed(spark, tmp_path):
     ff.write_bytes(b"one\x0cpage\ntwo\n")
     rows = read_files_ordered(spark, [str(ff)]).orderBy("line_no").collect()
     assert [r.source for r in rows] == ["one\x0cpage", "two"]
+
+
+def test_run_mark_pagexml_workspace(tmp_path):
+    """ocrd-cor-asv-ann-mark parity (wrapper/mark.py:32-140): PAGE-XML
+    workspace → hunspell .dic/.aff marking (incl. compound DP and the
+    dehyphenation retry) → PAGE-XML with @conf=0.123 on unknown words
+    ('conf' format) or @comments otherwise; counters in the JSON
+    summary (candidates/nonmatches, wrapper/mark.py:31-37)."""
+    import json
+    import re
+    import subprocess
+    import sys
+
+    from cor_asv_ann_spark.sources.pagexml import synth_page_xml
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    (pages / "p1.xml").write_bytes(synth_page_xml(
+        "p1", "Dampfschifffahrt Qqzz Dampf-\nfahrt gut\n", words_per_line=3))
+    (tmp_path / "de.aff").write_text(
+        "SET UTF-8\nCOMPOUNDFLAG X\nCOMPOUNDMIN 4\n", encoding="utf-8")
+    (tmp_path / "de.dic").write_text(
+        "5\nDampf/X\nSchiff/X\nFahrt/X\ngut\n", encoding="utf-8")
+
+    def run(fmt, out_name):
+        r = subprocess.run(
+            [sys.executable, "jobs/run_mark.py",
+             "--pagexml-in", str(pages),
+             "--pagexml-out", str(tmp_path / out_name),
+             "--dict", str(tmp_path / "de.dic"),
+             "--format", fmt, "--cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    rep = run("conf", "marked")
+    # 5 words; only Qqzz unknown: the compound is DP-accepted, the
+    # hyphenated pair is unmarked by the rejoin (Dampf+fahrt compound)
+    assert rep["files"] == 1
+    assert rep["candidates"] == 5 and rep["nonmatches"] == 1
+    xml = (tmp_path / "marked" / "p1.xml").read_text()
+    by_word = {w: c for c, w in re.findall(
+        r'<ns0:Word[^>]*>(?:\s*<ns0:Coords[^>]*/>)?'
+        r'\s*<ns0:TextEquiv conf="([0-9.]+)"[^>]*>'
+        r'\s*<ns0:Unicode>([^<]*)', xml)}
+    assert by_word["Qqzz"] == "0.1230"
+    for w in ("Dampfschifffahrt", "Dampf-", "fahrt", "gut"):
+        assert by_word[w] == "1.0000", (w, by_word)
+
+    rep2 = run("badspell", "marked2")
+    assert rep2["nonmatches"] == 1
+    xml2 = (tmp_path / "marked2" / "p1.xml").read_text()
+    assert xml2.count('comments="badspell"') == 1
+    assert 'conf="0.1230"' not in xml2
