@@ -84,6 +84,101 @@ def align_vote_groups(
     return joined.mapInPandas(run, schema=VOTED_SCHEMA)
 
 
+VOTED_LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("line_idx", T.IntegerType(), False),
+        T.StructField("line_ref", T.StringType(), True),
+        T.StructField("line_id", T.StringType(), True),
+        T.StructField("voted_text", T.StringType(), False),
+        T.StructField("voted_conf", T.DoubleType(), False),
+        T.StructField("n_inputs", T.IntegerType(), False),
+    ]
+)
+
+
+def align_vote_lines(
+    tables: list[DataFrame], method: str = "majority"
+) -> DataFrame:
+    """Workspace-grain N-way vote — the ocrd-cor-asv-ann-align core
+    (wrapper/align.py:86-214) over PAGE-XML line tables from
+    `sources.pagexml.line_table`: lines are matched across fileGrps by
+    TextLine @id (align.py:109-111), character-aligned pairwise with
+    TSP best-order expansion, and voted per column with per-char
+    confidences (majority / confidence / combined, F10).
+
+    The first table is the master: its lines define the output rows,
+    order (line_idx) and geometry (line_ref) — the reference's
+    first-non-empty-fileGrp-as-base rule. Other groups left-join and
+    may miss lines; empty/missing texts are ignored in the vote
+    (align.py:112-115); a line no group has text for keeps the master
+    text. One broadcast-free equi-join per extra group + one Arrow
+    batch pass — no driver loop, no shuffle beyond the joins."""
+    assert tables, "need at least one input group"
+    joined = tables[0].select(
+        "doc_id",
+        "line_idx",
+        "line_ref",
+        "line_id",
+        F.col("text").alias("t0"),
+        F.col("confs").alias("c0"),
+    )
+    for g, t in enumerate(tables[1:], 1):
+        joined = joined.join(
+            t.select(
+                "doc_id",
+                "line_id",
+                F.col("text").alias(f"t{g}"),
+                F.col("confs").alias(f"c{g}"),
+            ),
+            ["doc_id", "line_id"],
+            "left",
+        )
+    n = len(tables)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts, confs_out, counts = [], [], []
+            cols = [pdf[f"t{g}"] for g in range(n)]
+            ccols = [pdf[f"c{g}"] for g in range(n)]
+            for row_texts, row_confs in zip(zip(*cols), zip(*ccols)):
+                seqs, confs = [], []
+                for s, c in zip(row_texts, row_confs):
+                    if not isinstance(s, str) or not s:
+                        continue  # missing or empty line: ignored
+                    c = list(c) if c is not None else []
+                    seqs.append(s)
+                    # conf vector defends against length drift
+                    confs.append(
+                        (c + [1.0] * len(s))[: len(s)]
+                    )
+                if not seqs:
+                    t0 = row_texts[0] if isinstance(row_texts[0], str) else ""
+                    texts.append(t0)
+                    confs_out.append(1.0)
+                    counts.append(0)
+                    continue
+                t, c = align_and_vote(seqs, confs, method=method)
+                texts.append(t)
+                confs_out.append(c)
+                counts.append(len(seqs))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "line_idx": pdf["line_idx"],
+                    "line_ref": pdf["line_ref"],
+                    "line_id": pdf["line_id"],
+                    "voted_text": texts,
+                    "voted_conf": confs_out,
+                    "n_inputs": counts,
+                }
+            )
+
+    return joined.mapInPandas(run, schema=VOTED_LINES_SCHEMA)
+
+
 def join_group_texts(groups: list[DataFrame]) -> DataFrame:
     """UNION ALL of per-line texts across groups with a provenance
     index (the reference's joined multi-TextEquiv annotation), plus an

@@ -426,6 +426,42 @@ def read_pagexml_channels(
     return spans_of(full), conf_channel(full), confmat_channel(full)
 
 
+def line_table(full: DataFrame) -> DataFrame:
+    """level='line' full frame → one row per TextLine:
+    ``(doc_id, line_idx, line_ref, line_id, text, confs)``.
+
+    ``line_id`` is the TextLine @id recovered from the ``coords://``
+    anchor — the reference's cross-fileGrp match key (align.py:109-111,
+    join.py:85 match dicts keyed on line.id); ``line_idx`` preserves
+    reading order within the page; ``confs`` is the per-character
+    confidence vector (the trailing artificial-newline entry of the
+    line_confs channel stripped). Pure column ops — the XML was parsed
+    once in the scan."""
+    z = full.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.filter("spans", lambda s: s["kind"] == F.lit("line")).alias(
+                    "ls"
+                ),
+                F.col("line_confs").alias("cf"),
+            )
+        ).alias("line_idx", "z"),
+    )
+    return z.select(
+        "doc_id",
+        F.col("line_idx").cast("int"),
+        F.col("z.ls.media_ref").alias("line_ref"),
+        F.regexp_extract(
+            "z.ls.media_ref", r"^coords://([^/]*)/", 1
+        ).alias("line_id"),
+        F.col("z.ls.text").alias("text"),
+        F.slice(
+            "z.cf", 1, F.greatest(F.size("z.cf") - 1, F.lit(0))
+        ).alias("confs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic synthetic PAGE-XML (tests + oracle fixture): text in →
 # a page exercising ReadingOrder groups, nested regions, RTL/BTT
@@ -771,4 +807,75 @@ def write_pagexml_corpus(spans_df: DataFrame, out_dir: str) -> int:
         yield pd.DataFrame({"n": [n]})
 
     parts = spans_df.mapInPandas(write_part, schema="n long")
+    return sum(r.n for r in parts.collect())
+
+
+def render_page_lines(
+    doc_id: str,
+    lines: "list[tuple[str | None, list[tuple[str, float, int | None, str | None]]]]",
+) -> bytes:
+    """Line-grain page with MULTIPLE TextEquivs per line → PAGE-XML
+    bytes: ``lines`` is ``[(line_ref, [(text, conf, index, comments)])]``
+    in reading order. This is the join processor's output shape
+    (wrapper/join.py:85-106: line0.TextEquiv = chained equivs of all
+    fileGrps, optionally stamped with @index / @comments) — the span
+    model of render_page_xml carries exactly one text per element, so
+    multi-alternative lines get their own renderer. Ids/Coords recover
+    from ``coords://`` anchors like everywhere else; the first equiv is
+    primary (document order = preference order, as ocrd reads it)."""
+    root = ET.Element(f"{{{_NS}}}PcGts")
+    page = _sub(root, "Page", imageFilename=f"{doc_id}.png")
+    region = _sub(page, "TextRegion", id=f"{doc_id}_r0")
+    for li, (line_ref, equivs) in enumerate(lines):
+        lid, lpoints = _anchor_parts(line_ref)
+        tline = _sub(region, "TextLine", id=lid or f"{doc_id}_l{li}")
+        if lpoints:
+            _sub(tline, "Coords", points=lpoints)
+        for text, conf, index, cmt in equivs:
+            _add_te(tline, text, conf, index=index, comments=cmt)
+    return ET.tostring(root, encoding="utf-8", xml_declaration=True)
+
+
+def write_pagexml_lines(lines_df: DataFrame, out_dir: str) -> int:
+    """Distributed writer for the multi-TextEquiv line-grain frame
+    ``(doc_id, lines: array<struct<line_ref, equivs: array<struct<
+    text, conf, idx, comments>>>>)`` (one file per doc, tasks write
+    their partitions — same discipline as write_pagexml_corpus).
+    Returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                lines = [
+                    (
+                        ln["line_ref"],
+                        [
+                            (
+                                e["text"] or "",
+                                float(e["conf"])
+                                if e["conf"] is not None
+                                else 1.0,
+                                int(e["idx"]) if e["idx"] is not None else None,
+                                e["comments"] if e["comments"] else None,
+                            )
+                            for e in ln["equivs"]
+                        ],
+                    )
+                    for ln in row["lines"]
+                ]
+                data = render_page_lines(str(row["doc_id"]), lines)
+                with open(
+                    os.path.join(out_dir, f"{row['doc_id']}.xml"), "wb"
+                ) as f:
+                    f.write(data)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    parts = lines_df.mapInPandas(write_part, schema="n long")
     return sum(r.n for r in parts.collect())

@@ -1,10 +1,20 @@
-"""spark-submit entry: evaluate OCR vs GT spans tables → JSON report.
+"""spark-submit entry: evaluate OCR vs GT → JSON report — the
+`ocrd-cor-asv-ann-evaluate` / `cor-asv-ann-eval` mirror.
 
     python jobs/run_evaluate.py --sf-dir /root/testdata/sf0.001 \
         [--metric Levenshtein-fast|adjusted] [--out report.json]
 
 With --gt/--ocr pointing at spans parquet paths, evaluates those
 instead of synthesizing from testdata.
+
+With --pagexml-in GT_DIR OCR_DIR [OCR_DIR2 ...] it takes the
+reference processor's own input format: the FIRST directory is the
+ground-truth fileGrp, every further one an OCR fileGrp evaluated
+against it (wrapper/evaluate.py:53-60: first input group = GT,
+require_first), lines matched across groups by TextLine @id
+(match_on=id, evaluate.py:326-337). With several OCR groups the
+report's cer/wer tables carry one row per group (`ocr_grp` = the
+directory basename) — the reference's per-pair report sections.
 """
 
 from __future__ import annotations
@@ -20,10 +30,17 @@ def main() -> None:
     ap.add_argument("--sf-dir")
     ap.add_argument("--gt")
     ap.add_argument("--ocr")
+    ap.add_argument("--pagexml-in", nargs="+",
+                    help="PAGE-XML directories: first = GT fileGrp, "
+                         "rest = OCR fileGrps (evaluate.py:53-60)")
     ap.add_argument("--metric", default="Levenshtein-fast")
     ap.add_argument("--out")
+    ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+    if args.pagexml_in is not None and len(args.pagexml_in) < 2:
+        ap.error("--pagexml-in needs a GT directory plus at least one "
+                 "OCR directory")
 
     from pyspark.sql import functions as F
 
@@ -33,6 +50,50 @@ def main() -> None:
     from cor_asv_ann_spark.sources.spans import read_spans, synth_spans
 
     spark = build_session(app="evaluate", cpus=args.cpus)
+    if args.pagexml_in:
+        import os
+
+        from cor_asv_ann_spark.sources.pagexml import (
+            line_table,
+            read_pagexml_full,
+        )
+
+        gt_lines = line_table(
+            read_pagexml_full(
+                spark, args.pagexml_in[0], level="line",
+                on_error=args.on_error,
+            )
+        ).select(
+            "doc_id", "line_id", F.col("text").alias("gt_text")
+        )
+        pairs = None
+        multi = len(args.pagexml_in) > 2  # more than one OCR group
+        for d in args.pagexml_in[1:]:
+            name = os.path.basename(os.path.normpath(d)) or d
+            ocr_lines = line_table(
+                read_pagexml_full(
+                    spark, d, level="line", on_error=args.on_error
+                )
+            ).select(
+                "doc_id", "line_id", F.col("text").alias("ocr_text"),
+                F.lit(name).alias("ocr_grp"),
+            )
+            p = gt_lines.join(ocr_lines, ["doc_id", "line_id"])
+            pairs = p if pairs is None else pairs.unionByName(p)
+        pairs = pairs.filter(F.col("gt_text") != "").select(
+            "doc_id", "line_id", "gt_text", "ocr_text", "ocr_grp"
+        )
+        report = evaluation_report(
+            pairs, metric=args.metric,
+            group_col="ocr_grp" if multi else None,
+        )
+        text = report_json(report)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        print(text[:2000])
+        spark.stop()
+        return
     if args.gt and args.ocr:
         gt, ocr = read_spans(spark, args.gt), read_spans(spark, args.ocr)
     elif args.sf_dir:

@@ -348,3 +348,95 @@ def test_run_mark_pagexml_workspace(tmp_path):
     xml2 = (tmp_path / "marked2" / "p1.xml").read_text()
     assert xml2.count('comments="badspell"') == 1
     assert 'conf="0.1230"' not in xml2
+
+
+def test_run_align_join_evaluate_workspaces(tmp_path):
+    """The three remaining OCR-D processor mirrors end to end on one
+    multi-fileGrp workspace (wrapper/align.py, join.py, evaluate.py):
+    run_align majority-votes 3 OCR groups back to the clean text,
+    run_join emits multi-TextEquiv lines with @index/@comments, and
+    run_evaluate --pagexml-in reports per-group CER against GT."""
+    import json
+    import subprocess
+    import sys
+    import xml.etree.ElementTree as ET
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    texts = {
+        "gt": ["the quick brown fox", "jumps over lazy dogs"],
+        "a": ["the quick brown fox", "jumps over lazy dogs"],
+        "b": ["the qu1ck brown fox", "jumps ovor lazy dogs"],
+        "c": ["tne quick brown fox", "jumps over lazy d0gs"],
+    }
+    for g, lines in texts.items():
+        d = tmp_path / g
+        d.mkdir()
+        body = "".join(
+            f'<TextLine id="l{i}"><Coords points="0,{i*9} 90,{i*9+8}"/>'
+            f'<TextEquiv conf="0.8"><Unicode>{t}</Unicode></TextEquiv>'
+            f"</TextLine>"
+            for i, t in enumerate(lines)
+        )
+        (d / "p1.xml").write_text(
+            f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+            f'<TextRegion id="r0">{body}</TextRegion></Page></PcGts>'
+        )
+
+    def run(job, *extra):
+        r = subprocess.run(
+            [sys.executable, f"jobs/{job}", *extra, "--cpus", "4"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        )
+        assert r.returncode == 0, (job, r.stderr[-2000:])
+        return r.stdout.strip().splitlines()[-1]
+
+    # --- align: majority of a,b,c == the clean text, master ids kept
+    rep = json.loads(run(
+        "run_align.py", "--pagexml-in", str(tmp_path / "a"),
+        str(tmp_path / "b"), str(tmp_path / "c"),
+        "--pagexml-out", str(tmp_path / "voted"), "--method", "majority"))
+    assert rep == {"files": 1, "lines": 2, "voted": 2, "mean_conf": 0.8,
+                   "method": "majority", "groups": 3}
+    root = ET.fromstring((tmp_path / "voted" / "p1.xml").read_bytes())
+    got = {
+        t.get("id"): te_uni.text
+        for t in root.iter() if t.tag.endswith("}TextLine")
+        for te in t if te.tag.endswith("}TextEquiv")
+        for te_uni in te
+    }
+    assert got == {"l0": "the quick brown fox", "l1": "jumps over lazy dogs"}
+
+    # --- align rejects majority with only 2 groups (align.py:51-52)
+    r = subprocess.run(
+        [sys.executable, "jobs/run_align.py", "--pagexml-in",
+         str(tmp_path / "a"), str(tmp_path / "b"),
+         "--pagexml-out", str(tmp_path / "x"), "--method", "majority"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode != 0 and "more than 2" in r.stderr
+
+    # --- join: one line, two TextEquivs, provenance stamped
+    rep = json.loads(run(
+        "run_join.py", "--pagexml-in", str(tmp_path / "a"),
+        str(tmp_path / "b"), "--pagexml-out", str(tmp_path / "joined"),
+        "--add-filegrp-comments", "--add-filegrp-index"))
+    assert rep["files"] == 1 and rep["lines"] == 2
+    assert rep["alternatives"] == 4 and rep["groups"] == ["a", "b"]
+    root = ET.fromstring((tmp_path / "joined" / "p1.xml").read_bytes())
+    l0 = next(t for t in root.iter()
+              if t.tag.endswith("}TextLine") and t.get("id") == "l0")
+    tes = [te for te in l0 if te.tag.endswith("}TextEquiv")]
+    assert [(te.get("index"), te.get("comments")) for te in tes] == [
+        ("0", "a"), ("1", "b")]
+    unis = [u.text for te in tes for u in te if u.tag.endswith("}Unicode")]
+    assert unis == ["the quick brown fox", "the qu1ck brown fox"]
+
+    # --- evaluate: per-group CER vs GT (a perfect, b/c 2 edits each)
+    run("run_evaluate.py", "--pagexml-in", str(tmp_path / "gt"),
+        str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "c"),
+        "--out", str(tmp_path / "report.json"))
+    report = json.loads((tmp_path / "report.json").read_text())
+    cer = {row["ocr_grp"]: row["cer"] for row in report["cer"]}
+    assert cer["a"] == 0.0
+    assert abs(cer["b"] - 2 / 39) < 1e-9 and abs(cer["c"] - 2 / 39) < 1e-9
+    assert {w["ocr_grp"] for w in report["wer"]} == {"a", "b", "c"}

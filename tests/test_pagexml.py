@@ -563,3 +563,90 @@ def test_model_confs_reach_pagexml_sink(tmp_path):
         ]
         assert word_confs, f.name
         assert all(0.85 <= c <= 0.95 for c in word_confs), (f.name, word_confs)
+
+
+def test_line_table_and_align_vote_lines(spark, tmp_path):
+    """N-way workspace vote (wrapper/align.py:86-214): line tables are
+    keyed by TextLine @id across fileGrps; majority over 3 groups with
+    disjoint per-group errors recovers the clean text; a line missing
+    from the non-master groups keeps the master text with n_inputs=1;
+    the master's geometry/order survive."""
+    from cor_asv_ann_spark.operators.align_groups import align_vote_lines
+    from cor_asv_ann_spark.sources.pagexml import (
+        line_table,
+        read_pagexml_full,
+    )
+
+    # same workspace segmentation (= same TextLine ids) in every
+    # group, differing OCR text — the real multi-OCR situation
+    texts = {
+        "a": ["the quick brown fox", "jumps over lazy dogs",
+              "only in master"],
+        "b": ["the qu1ck brown fox", "jumps ovor lazy dogs"],
+        "c": ["tne quick brown fox", "jumps over lazy d0gs"],
+    }
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+    for g, lines in texts.items():
+        d = tmp_path / g
+        d.mkdir()
+        body = "".join(
+            f'<TextLine id="l{i}"><Coords points="0,{i*9} 90,{i*9+8}"/>'
+            f'<TextEquiv conf="0.8"><Unicode>{t}</Unicode></TextEquiv>'
+            f"</TextLine>"
+            for i, t in enumerate(lines)
+        )
+        (d / "p1.xml").write_text(
+            f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+            f'<TextRegion id="r0">{body}</TextRegion></Page></PcGts>'
+        )
+    tabs = [
+        line_table(read_pagexml_full(spark, str(tmp_path / g), level="line"))
+        for g in "abc"
+    ]
+    t0 = {r.line_id: r for r in tabs[0].collect()}
+    assert len(t0) == 3 and all(r.line_ref for r in t0.values())
+    # per-char confs: one entry per character, newline stripped
+    assert all(len(r.confs) == len(r.text) for r in t0.values())
+
+    voted = {
+        r.line_idx: r
+        for r in align_vote_lines(tabs, method="majority").collect()
+    }
+    assert voted[0].voted_text.strip() == "the quick brown fox"
+    assert voted[1].voted_text.strip() == "jumps over lazy dogs"
+    assert voted[0].n_inputs == 3
+    assert voted[2].voted_text.strip() == "only in master"
+    assert voted[2].n_inputs == 1
+    assert voted[0].line_ref == t0[voted[0].line_id].line_ref
+
+
+def test_render_page_lines_multi_textequiv(spark, tmp_path):
+    """join.py:89-106 output shape: multiple TextEquiv per TextLine
+    with @index/@comments, primary first, ids recovered — and the
+    engine's own reader parses the primary text back (confmat channel
+    carries the alternatives)."""
+    import xml.etree.ElementTree as ET
+
+    from cor_asv_ann_spark.sources.pagexml import (
+        parse_page_xml,
+        render_page_lines,
+    )
+
+    data = render_page_lines(
+        "d1",
+        [
+            ("coords://l0/0,0 9,9", [("good", 0.9, 0, "grpA"),
+                                     ("gond", 0.4, 1, "grpB")]),
+            (None, [("solo", 1.0, None, None)]),
+        ],
+    )
+    root = ET.fromstring(data)
+    tlines = [el for el in root.iter() if el.tag.endswith("}TextLine")]
+    assert [t.get("id") for t in tlines] == ["l0", "d1_l1"]
+    tes = [te for te in tlines[0] if te.tag.endswith("}TextEquiv")]
+    assert [te.get("index") for te in tes] == ["0", "1"]
+    assert [te.get("comments") for te in tes] == ["grpA", "grpB"]
+    parsed = parse_page_xml("d1", data, level="line")
+    line_texts = [t for k, t, _, _ in parsed["spans"] if k == "line"]
+    assert line_texts == ["good", "solo"]  # primary = first TextEquiv
+    assert parsed["line_confmats"][0][0] == [("good", 0.9), ("gond", 0.4)]
