@@ -7,6 +7,11 @@ character alignment + per-column vote → one PAGE-XML workspace out.
     python jobs/run_align.py --pagexml-in ocrA/ ocrB/ ocrC/ \
         --pagexml-out voted/ [--method majority|confidence|combined] \
         [--cpus 8] [--on-error fail|skip]
+    # or on an OCR-D workspace (the reference's own invocation shape,
+    # `-I OCR1,OCR2,OCR3 -O ALIGNED`): input fileGrps resolved via the
+    # METS fileSec/structMap, output registered as a new fileGrp
+    python jobs/run_align.py --mets ws/mets.xml -I OCR1,OCR2,OCR3 \
+        -O ALIGNED --method majority
 
 Parity with the reference:
   * the FIRST input group is the master — its pages/lines define the
@@ -39,17 +44,39 @@ sys.path.insert(0, ".")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pagexml-in", nargs="+", required=True,
+    ap.add_argument("--pagexml-in", nargs="+",
                     help="N input PAGE-XML directories (first = master)")
-    ap.add_argument("--pagexml-out", required=True)
+    ap.add_argument("--pagexml-out")
+    ap.add_argument("--mets",
+                    help="OCR-D workspace mets.xml (alternative to "
+                         "--pagexml-in/--pagexml-out; resolves -I/-O "
+                         "fileGrps and registers the output fileGrp)")
+    ap.add_argument("-I", "--input-file-grp",
+                    help="comma-separated input fileGrps (with --mets)")
+    ap.add_argument("-O", "--output-file-grp",
+                    help="output fileGrp (with --mets)")
     ap.add_argument("--method", default="majority",
                     choices=["majority", "confidence", "combined"])
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
-    if len(args.pagexml_in) < 2:
+
+    register = None
+    if args.mets:
+        if not (args.input_file_grp and args.output_file_grp):
+            ap.error("--mets needs -I and -O")
+        from cor_asv_ann_spark.sources.mets import resolve_workspace
+
+        inputs, out_dir, register = resolve_workspace(
+            args.mets, args.input_file_grp, args.output_file_grp
+        )
+    elif args.pagexml_in and args.pagexml_out:
+        inputs, out_dir = [[d] for d in args.pagexml_in], args.pagexml_out
+    else:
+        ap.error("need --pagexml-in + --pagexml-out, or --mets with -I/-O")
+    if len(inputs) < 2:
         ap.error("need multiple input groups to align (align.py:50)")
-    if args.method in ("majority", "combined") and len(args.pagexml_in) < 3:
+    if args.method in ("majority", "combined") and len(inputs) < 3:
         ap.error(f"need more than 2 input groups for method={args.method} "
                  "(align.py:51-52)")
 
@@ -66,9 +93,9 @@ def main() -> None:
     spark = build_session(app="align", cpus=args.cpus)
     tables = [
         line_table(
-            read_pagexml_full(spark, d, level="line", on_error=args.on_error)
+            read_pagexml_full(spark, p, level="line", on_error=args.on_error)
         )
-        for d in args.pagexml_in
+        for p in inputs
     ]
     voted = align_vote_lines(tables, method=args.method).persist()
 
@@ -111,7 +138,11 @@ def main() -> None:
             )
         ).alias("span_confs"),
     )
-    n_files = write_pagexml_corpus(out, args.pagexml_out)
+    n_files = write_pagexml_corpus(out, out_dir)
+    if register is not None:
+        import glob as _glob
+
+        register(_glob.glob(f"{out_dir}/*.xml"))
     stats = voted.agg(
         F.count(F.lit(1)).alias("lines"),
         F.sum(F.when(F.col("n_inputs") >= 2, 1).otherwise(0)).alias("voted"),
@@ -124,7 +155,7 @@ def main() -> None:
         "voted": int(stats.voted or 0),
         "mean_conf": round(float(stats.mean_conf or 1.0), 4),
         "method": args.method,
-        "groups": len(args.pagexml_in),
+        "groups": len(inputs),
     }))
     spark.stop()
 

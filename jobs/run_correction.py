@@ -58,7 +58,28 @@ def main() -> None:
     )
     ap.add_argument("--beam", action="store_true", help="beam decode (slow path)")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
+    ap.add_argument("--mets",
+                    help="OCR-D workspace mets.xml: resolves -I to page "
+                         "files (instead of --pagexml-in) and registers "
+                         "-O as the corrected output fileGrp (instead of "
+                         "--pagexml-out) — the processor's own workspace "
+                         "contract")
+    ap.add_argument("-I", "--input-file-grp")
+    ap.add_argument("-O", "--output-file-grp")
     args = ap.parse_args()
+
+    mets_register = None
+    if args.mets:
+        if not (args.input_file_grp and args.output_file_grp):
+            ap.error("--mets needs -I and -O")
+        if args.pagexml_in or args.pagexml_out:
+            ap.error("--mets replaces --pagexml-in/--pagexml-out")
+        from cor_asv_ann_spark.sources.mets import resolve_workspace
+
+        (mets_paths,), mets_out, mets_register = resolve_workspace(
+            args.mets, args.input_file_grp, args.output_file_grp
+        )
+        args.pagexml_in, args.pagexml_out = mets_paths, mets_out
 
     from cor_asv_ann_spark.checkpoint import run_resumable
     from cor_asv_ann_spark.session import build_session
@@ -142,6 +163,11 @@ def main() -> None:
         # span_confs column so model confidences reach TextEquiv/@conf
         summary["pagexml_out"] = write_pagexml_corpus(
             spark.read.parquet(args.output), args.pagexml_out)
+        if mets_register is not None:
+            import glob as _glob
+
+            summary["mets_registered"] = mets_register(
+                _glob.glob(f"{args.pagexml_out}/*.xml"))
     lineage = spark.read.parquet(args.lineage)
     from pyspark.sql import functions as F
 

@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--pagexml-in", nargs="+",
                     help="PAGE-XML directories: first = GT fileGrp, "
                          "rest = OCR fileGrps (evaluate.py:53-60)")
+    ap.add_argument("--mets",
+                    help="OCR-D workspace mets.xml: with -I, evaluates "
+                         "the named fileGrps (first = GT)")
+    ap.add_argument("-I", "--input-file-grp",
+                    help="comma-separated fileGrps (with --mets)")
     ap.add_argument("--metric", default="Levenshtein-fast")
     ap.add_argument("--out")
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
@@ -49,10 +54,29 @@ def main() -> None:
     from cor_asv_ann_spark.session import build_session
     from cor_asv_ann_spark.sources.spans import read_spans, synth_spans
 
-    spark = build_session(app="evaluate", cpus=args.cpus)
-    if args.pagexml_in:
+    groups = None  # [(name, paths)] — first = GT
+    if args.mets:
+        if not args.input_file_grp:
+            ap.error("--mets needs -I")
+        from cor_asv_ann_spark.sources.mets import resolve_workspace
+
+        paths_per_grp, _, _ = resolve_workspace(
+            args.mets, args.input_file_grp
+        )
+        names = args.input_file_grp.split(",")
+        if len(names) < 2:
+            ap.error("-I needs a GT fileGrp plus at least one OCR fileGrp")
+        groups = list(zip(names, paths_per_grp))
+    elif args.pagexml_in:
         import os
 
+        groups = [
+            (os.path.basename(os.path.normpath(d)) or d, d)
+            for d in args.pagexml_in
+        ]
+
+    spark = build_session(app="evaluate", cpus=args.cpus)
+    if groups:
         from cor_asv_ann_spark.sources.pagexml import (
             line_table,
             read_pagexml_full,
@@ -60,16 +84,14 @@ def main() -> None:
 
         gt_lines = line_table(
             read_pagexml_full(
-                spark, args.pagexml_in[0], level="line",
-                on_error=args.on_error,
+                spark, groups[0][1], level="line", on_error=args.on_error
             )
         ).select(
             "doc_id", "line_id", F.col("text").alias("gt_text")
         )
         pairs = None
-        multi = len(args.pagexml_in) > 2  # more than one OCR group
-        for d in args.pagexml_in[1:]:
-            name = os.path.basename(os.path.normpath(d)) or d
+        multi = len(groups) > 2  # more than one OCR group
+        for name, d in groups[1:]:
             ocr_lines = line_table(
                 read_pagexml_full(
                     spark, d, level="line", on_error=args.on_error

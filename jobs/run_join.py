@@ -8,6 +8,11 @@ multi-TextEquiv lines.
     python jobs/run_join.py --pagexml-in ocrA/ ocrB/ \
         --pagexml-out joined/ [--add-filegrp-comments] \
         [--add-filegrp-index] [--cpus 8] [--on-error fail|skip]
+    # or on an OCR-D workspace: -I fileGrps resolved via the METS,
+    # output registered as a new fileGrp (names in @comments are the
+    # fileGrp names, exactly the reference's annotation)
+    python jobs/run_join.py --mets ws/mets.xml -I OCR1,OCR2 -O JOINED \
+        --add-filegrp-comments
 
 Parity with the reference:
   * lines matched across groups by TextLine @id (`match-on=id`,
@@ -43,15 +48,38 @@ sys.path.insert(0, ".")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pagexml-in", nargs="+", required=True,
+    ap.add_argument("--pagexml-in", nargs="+",
                     help="N input PAGE-XML directories (first = master)")
-    ap.add_argument("--pagexml-out", required=True)
+    ap.add_argument("--pagexml-out")
+    ap.add_argument("--mets",
+                    help="OCR-D workspace mets.xml (alternative to "
+                         "--pagexml-in/--pagexml-out)")
+    ap.add_argument("-I", "--input-file-grp",
+                    help="comma-separated input fileGrps (with --mets)")
+    ap.add_argument("-O", "--output-file-grp",
+                    help="output fileGrp (with --mets)")
     ap.add_argument("--add-filegrp-comments", action="store_true")
     ap.add_argument("--add-filegrp-index", action="store_true")
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
-    if len(args.pagexml_in) < 2:
+
+    register = None
+    if args.mets:
+        if not (args.input_file_grp and args.output_file_grp):
+            ap.error("--mets needs -I and -O")
+        from cor_asv_ann_spark.sources.mets import resolve_workspace
+
+        inputs, out_dir, register = resolve_workspace(
+            args.mets, args.input_file_grp, args.output_file_grp
+        )
+        grp_names = args.input_file_grp.split(",")
+    elif args.pagexml_in and args.pagexml_out:
+        inputs, out_dir = [[d] for d in args.pagexml_in], args.pagexml_out
+        grp_names = None
+    else:
+        ap.error("need --pagexml-in + --pagexml-out, or --mets with -I/-O")
+    if len(inputs) < 2:
         ap.error("need multiple input groups to join")
 
     from pyspark.sql import functions as F
@@ -64,11 +92,12 @@ def main() -> None:
     )
 
     spark = build_session(app="join", cpus=args.cpus)
-    grp_names = [
-        os.path.basename(os.path.normpath(d)) or d for d in args.pagexml_in
-    ]
+    if grp_names is None:
+        grp_names = [
+            os.path.basename(os.path.normpath(d[0])) or d[0] for d in inputs
+        ]
     union = None
-    for g, d in enumerate(args.pagexml_in):
+    for g, d in enumerate(inputs):
         t = line_table(
             read_pagexml_full(spark, d, level="line", on_error=args.on_error)
         ).select(
@@ -95,8 +124,7 @@ def main() -> None:
     master = (
         line_table(
             read_pagexml_full(
-                spark, args.pagexml_in[0], level="line",
-                on_error=args.on_error,
+                spark, inputs[0], level="line", on_error=args.on_error
             )
         ).select("doc_id", "line_idx", "line_ref", "line_id")
     )
@@ -127,7 +155,11 @@ def main() -> None:
             lambda x: x["line"],
         ).alias("lines")
     )
-    n_files = write_pagexml_lines(out, args.pagexml_out)
+    n_files = write_pagexml_lines(out, out_dir)
+    if register is not None:
+        import glob as _glob
+
+        register(_glob.glob(f"{out_dir}/*.xml"))
     stats = alts.agg(
         F.count(F.lit(1)).alias("lines"),
         F.sum(F.size("alts")).alias("alternatives"),

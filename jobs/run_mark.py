@@ -42,11 +42,17 @@ sys.path.insert(0, ".")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pagexml-in", required=True,
+    ap.add_argument("--pagexml-in",
                     help="directory of PAGE-XML files (pathGlobFilter "
                          "listing — pass directories, not globs)")
-    ap.add_argument("--pagexml-out", required=True,
+    ap.add_argument("--pagexml-out",
                     help="output directory for marked PAGE-XML")
+    ap.add_argument("--mets",
+                    help="OCR-D workspace mets.xml (alternative to "
+                         "--pagexml-in/--pagexml-out; single -I fileGrp, "
+                         "-O registered back into the METS)")
+    ap.add_argument("-I", "--input-file-grp")
+    ap.add_argument("-O", "--output-file-grp")
     ap.add_argument("--dict", required=True, dest="dict_path",
                     help="hunspell .dic (sibling/explicit .aff expands "
                          "affixes + compounds) or plain wordlist")
@@ -61,6 +67,20 @@ def main() -> None:
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
+
+    register = None
+    if args.mets:
+        if not (args.input_file_grp and args.output_file_grp):
+            ap.error("--mets needs -I and -O")
+        from cor_asv_ann_spark.sources.mets import resolve_workspace
+
+        (in_paths,), out_dir, register = resolve_workspace(
+            args.mets, args.input_file_grp, args.output_file_grp
+        )
+    elif args.pagexml_in and args.pagexml_out:
+        in_paths, out_dir = args.pagexml_in, args.pagexml_out
+    else:
+        ap.error("need --pagexml-in + --pagexml-out, or --mets with -I/-O")
 
     charmap = json.loads(args.normalization) if args.normalization else None
 
@@ -83,7 +103,7 @@ def main() -> None:
 
     spark = build_session(app="mark", cpus=args.cpus)
     spans_df = read_pagexml(
-        spark, args.pagexml_in, level="word", on_error=args.on_error
+        spark, in_paths, level="word", on_error=args.on_error
     )
     lex = lexicon_from_wordlist(spark, args.dict_path, aff_path=args.aff)
     comp = compound_lexicon_from_dic(spark, args.dict_path, aff_path=args.aff)
@@ -135,7 +155,11 @@ def main() -> None:
             ),
         ).alias("span_comments"),
     )
-    n_files = write_pagexml_corpus(out, args.pagexml_out)
+    n_files = write_pagexml_corpus(out, out_dir)
+    if register is not None:
+        import glob as _glob
+
+        register(_glob.glob(f"{out_dir}/*.xml"))
     counters = mark_counters(rechecked).collect()[0]
     print(json.dumps({
         "files": n_files,
