@@ -36,9 +36,23 @@ participate in compounds only at the outer edges (prefixed form may
 begin, suffixed form may end — hunspell's default without
 COMPOUNDPERMITFLAG).
 
-Out of scope (documented, loudly ignored): COMPOUNDPERMITFLAG /
-COMPOUNDFORBIDFLAG / COMPOUNDRULE pattern compounds, CHECKCOMPOUNDCASE
-/ CHECKCOMPOUNDREP / CHECKCOMPOUNDPATTERN, and the REP/MAP/OCONV
+``COMPOUNDPERMITFLAG`` / ``COMPOUNDFORBIDFLAG`` refine where AFFIXED
+forms may appear: an affix whose appendage carries the permit flag
+("s/P") is allowed at inner compound boundaries (the affixed form
+inherits the base's begin/middle/end positions); one carrying the
+forbid flag excludes the affixed form from compounds entirely (a
+forbid flag on a ``.dic`` entry excludes the word itself).
+
+``COMPOUNDRULE`` pattern compounds (the en_US ordinal-number
+mechanism): each pattern is a sequence of flags with ``*``/``?``
+modifiers (parenthesized for long/num flag modes); a word is accepted
+when it splits into ≥2 dictionary words whose flag sets spell out a
+pattern — matched as a tiny NFA over split points inside the same
+memoized DP (only the pattern-flagged subset of the dictionary is
+carried, e.g. en_US's number words).
+
+Out of scope (documented, loudly ignored): CHECKCOMPOUNDCASE /
+CHECKCOMPOUNDREP / CHECKCOMPOUNDPATTERN, and the REP/MAP/OCONV
 suggestion tables — none affects simple-word acceptance for
 inflection-style dictionaries.
 """
@@ -133,6 +147,18 @@ def parse_aff(text: str) -> dict:
             compound["checkdup"] = True
         elif parts[0] == "CHECKCOMPOUNDTRIPLE":
             compound["checktriple"] = True
+        elif parts[0] == "COMPOUNDPERMITFLAG" and len(parts) >= 2:
+            compound["permit"] = parts[1]
+        elif parts[0] == "COMPOUNDFORBIDFLAG" and len(parts) >= 2:
+            compound["forbid"] = parts[1]
+        elif parts[0] == "COMPOUNDRULE" and len(parts) >= 2:
+            # "COMPOUNDRULE <n>" count header is all digits — BUT a
+            # digit can be a flag inside a real pattern ("n*1t"), so
+            # only a bare number with no modifier/parens is a header
+            if not (parts[1].isdigit() and "rules" not in compound):
+                compound.setdefault("rules", []).append(parts[1])
+            else:
+                compound.setdefault("rules", [])
         elif parts[0] == "ICONV" and len(parts) >= 3:
             # the "ICONV <n>" count header has exactly 2 fields — rows
             # carry (from, to); "_" encodes a space per hunspell
@@ -205,6 +231,10 @@ def expand_entry_tagged(entry: str, aff: dict) -> "list[tuple[str, str]]":
                 t for t, k in (("b", "begin"), ("m", "middle"), ("e", "end"))
                 if comp.get(k) in flags
             )
+        if comp.get("forbid") in flags:
+            # COMPOUNDFORBIDFLAG on the entry: the word itself may not
+            # be part of any compound
+            base_pos = ""
     base_tags = ("" if comp.get("onlyin") in flags else "s") + base_pos
     order: list[str] = [word]
     tags: dict[str, str] = {word: base_tags}
@@ -222,9 +252,22 @@ def expand_entry_tagged(entry: str, aff: dict) -> "list[tuple[str, str]]":
         rules = aff["rules"]
         sfx = [r for f in flags for r in rules.get(f, []) if r.kind == "SFX"]
         pfx = [r for f in flags for r in rules.get(f, []) if r.kind == "PFX"]
-        # edge participation of affixed forms follows the BASE's flags
+        # edge participation of affixed forms follows the BASE's flags;
+        # a COMPOUNDPERMITFLAG on the appendage ("s/P") opens the inner
+        # positions too, a COMPOUNDFORBIDFLAG closes them all
         sfx_tag = "s" + ("e" if "e" in base_pos else "")
         pfx_tag = "s" + ("b" if "b" in base_pos else "")
+        permit, forbid = comp.get("permit"), comp.get("forbid")
+
+        def rule_tag(rule: AffixRule, default_tag: str) -> str:
+            if not rule.cont or not (permit or forbid):
+                return default_tag
+            cflags = _split_flags(rule.cont.strip(), mode)
+            if forbid and forbid in cflags:
+                return "s"
+            if permit and permit in cflags:
+                return "s" + base_pos
+            return default_tag
 
         def add_cont(form: "str | None", rule: AffixRule) -> None:
             # two-fold stripping: the appendage's continuation flags
@@ -240,7 +283,7 @@ def expand_entry_tagged(entry: str, aff: dict) -> "list[tuple[str, str]]":
 
         for r in sfx:
             suffixed = _apply(r, word)
-            add(suffixed, sfx_tag)
+            add(suffixed, rule_tag(r, sfx_tag))
             add_cont(suffixed, r)
             if suffixed and r.cross:
                 # PFX×SFX cross product (both rules must be cross=Y);
@@ -250,7 +293,7 @@ def expand_entry_tagged(entry: str, aff: dict) -> "list[tuple[str, str]]":
                         add(_apply(p, suffixed), "s")
         for p in pfx:
             prefixed = _apply(p, word)
-            add(prefixed, pfx_tag)
+            add(prefixed, rule_tag(p, pfx_tag))
             add_cont(prefixed, p)
     return [(w, tags[w]) for w in order]
 
@@ -287,6 +330,77 @@ def iconv_sorted(pairs: "list[tuple[str, str]]") -> "tuple[tuple[str, str], ...]
     return tuple(sorted(pairs, key=lambda p: -len(p[0])))
 
 
+def parse_compound_rules(
+    patterns: "list[str]", flag_mode: str = "single"
+) -> "tuple[tuple[tuple[str, str], ...], ...]":
+    """COMPOUNDRULE patterns → token tuples ``((flag, mod), ...)`` with
+    ``mod`` in {"", "*", "?"}. Flags are single chars, or parenthesized
+    groups for long/num flag modes ("(1001)(1002)*")."""
+    out = []
+    for pat in patterns:
+        toks: list[tuple[str, str]] = []
+        i = 0
+        while i < len(pat):
+            if pat[i] == "(":
+                j = pat.find(")", i)
+                flag = pat[i + 1 : j] if j >= 0 else pat[i + 1 :]
+                i = (j + 1) if j >= 0 else len(pat)
+            elif pat[i] in "*?":
+                i += 1  # stray modifier without a flag: ignore
+                continue
+            else:
+                flag = pat[i]
+                i += 1
+            mod = ""
+            if i < len(pat) and pat[i] in "*?":
+                mod = pat[i]
+                i += 1
+            if flag:
+                toks.append((flag, mod))
+        if toks:
+            out.append(tuple(toks))
+    return tuple(out)
+
+
+def rule_flags_of(entry: str, aff: dict) -> str:
+    """One ``.dic`` line → comma-joined subset of its flags that occur
+    in any COMPOUNDRULE pattern ("" when none) — the bounded projection
+    the rule matcher needs (en_US: only the number words survive)."""
+    comp = aff.get("compound") or {}
+    pats = comp.get("rules")
+    if not pats:
+        return ""
+    wanted = {
+        f for toks in parse_compound_rules(pats, aff["flag_mode"]) for f, _ in toks
+    }
+    word, _, flag_field = entry.partition("/")
+    if not word.strip() or not flag_field:
+        return ""
+    flags = _split_flags(flag_field.strip(), aff["flag_mode"])
+    return ",".join(sorted(set(flags) & wanted))
+
+
+def _nfa_closure(toks, states: "set[int]") -> "frozenset[int]":
+    out = set(states)
+    frontier = list(states)
+    while frontier:
+        k = frontier.pop()
+        if k < len(toks) and toks[k][1] in ("*", "?") and k + 1 not in out:
+            out.add(k + 1)
+            frontier.append(k + 1)
+    return frozenset(out)
+
+
+def _nfa_step(toks, states: "frozenset[int]", flagset) -> "set[int]":
+    nxt: set[int] = set()
+    for k in states:
+        if k < len(toks) and toks[k][0] in flagset:
+            if toks[k][1] == "*":
+                nxt.add(k)  # may repeat
+            nxt.add(k + 1)
+    return nxt
+
+
 @dataclass(frozen=True)
 class CompoundLexicon:
     """Acceptance oracle for hunspell compound words: a word is IV if
@@ -305,6 +419,10 @@ class CompoundLexicon:
     checkdup: bool = False
     checktriple: bool = False
     iconv: "tuple[tuple[str, str], ...]" = ()
+    # COMPOUNDRULE machinery: token tuples per pattern + the (bounded)
+    # word → flagset map of pattern-flagged dictionary entries
+    rule_tokens: "tuple[tuple[tuple[str, str], ...], ...]" = ()
+    rule_words: "tuple[tuple[str, tuple[str, ...]], ...]" = ()
 
     def convert(self, word: str) -> str:
         return apply_iconv(word, self.iconv)
@@ -315,6 +433,48 @@ class CompoundLexicon:
         return self.accepts_compound(word)
 
     def accepts_compound(self, word: str) -> bool:
+        return self._accepts_flag_compound(word) or self._accepts_rule_compound(
+            word
+        )
+
+    def _accepts_rule_compound(self, word: str) -> bool:
+        """COMPOUNDRULE match: split into ≥2 dictionary words whose
+        flag sets spell a pattern (NFA over split points)."""
+        if not self.rule_tokens or not self.rule_words:
+            return False
+        flags_of = self.__dict__.get("_flags_map")
+        if flags_of is None:
+            flags_of = {w: frozenset(fl) for w, fl in self.rule_words}
+            object.__setattr__(self, "_flags_map", flags_of)
+        n = len(word)
+        cmin = max(1, self.cmin)
+        for toks in self.rule_tokens:
+            accept = len(toks)
+            start = _nfa_closure(toks, {0})
+            seen = set()
+            stack: list = [(0, start)]
+            while stack:
+                pos, states = stack.pop()
+                if (pos, states) in seen:
+                    continue
+                seen.add((pos, states))
+                for j in range(pos + cmin, n + 1):
+                    fl = flags_of.get(word[pos:j])
+                    if not fl:
+                        continue
+                    nxt = _nfa_step(toks, states, fl)
+                    if not nxt:
+                        continue
+                    closed = _nfa_closure(toks, nxt)
+                    if j == n:
+                        # pos>0 ⇒ ≥2 parts (the only 1-part path is 0→n)
+                        if pos > 0 and accept in closed:
+                            return True
+                        continue
+                    stack.append((j, closed))
+        return False
+
+    def _accepts_flag_compound(self, word: str) -> bool:
         n = len(word)
         cmin = max(1, self.cmin)
         if not self.begin or not self.end or n < 2 * cmin:
@@ -360,11 +520,16 @@ class CompoundLexicon:
 
 
 def build_compound_lexicon(
-    tagged: "list[tuple[str, str]]", aff: dict, lower: bool = True
+    tagged: "list[tuple[str, str]]",
+    aff: dict,
+    lower: bool = True,
+    rule_words: "list[tuple[str, str]] | None" = None,
 ) -> CompoundLexicon:
     """(form, tags) pairs (from ``expand_entry_tagged``) + parsed
     ``.aff`` → a broadcast-ready :class:`CompoundLexicon`. Lowercases
-    by default to match ``mark_words``'s case-folded join."""
+    by default to match ``mark_words``'s case-folded join.
+    ``rule_words``: (word, comma-joined-flags) pairs from
+    :func:`rule_flags_of` — the COMPOUNDRULE-flagged subset."""
     comp = aff.get("compound") or {}
     sets: dict[str, set] = {"s": set(), "b": set(), "m": set(), "e": set()}
     for form, tags in tagged:
@@ -381,4 +546,14 @@ def build_compound_lexicon(
         checkdup=bool(comp.get("checkdup")),
         checktriple=bool(comp.get("checktriple")),
         iconv=iconv_sorted(aff.get("iconv") or []),
+        rule_tokens=parse_compound_rules(
+            comp.get("rules") or [], aff["flag_mode"]
+        ),
+        rule_words=tuple(
+            sorted(
+                ((w.lower() if lower else w), tuple(fl.split(",")))
+                for w, fl in (rule_words or [])
+                if fl
+            )
+        ),
     )

@@ -140,7 +140,12 @@ def compound_lexicon_from_dic(spark, path: str, aff_path: "str | None" = None):
     dictionary-bounded distinct (form, tags) pairs are collected."""
     import os
 
-    from ..corelib.affix import build_compound_lexicon, expand_entry_tagged, parse_aff
+    from ..corelib.affix import (
+        build_compound_lexicon,
+        expand_entry_tagged,
+        parse_aff,
+        rule_flags_of,
+    )
 
     if aff_path is None and path.endswith(".dic"):
         sibling = path[: -len(".dic")] + ".aff"
@@ -168,17 +173,48 @@ def compound_lexicon_from_dic(spark, path: str, aff_path: "str | None" = None):
         rules = aff_b.value
         return entries.map(lambda e: expand_entry_tagged(e, rules))
 
-    rows = (
+    lines = (
         spark.read.text(path)
         .select(F.trim(F.col("value")).alias("raw"))
         .filter((F.col("raw") != "") & ~F.col("raw").rlike("^[0-9]+$"))
-        .select(F.explode(tagged_udf(F.col("raw"))).alias("ft"))
+    )
+    rows = (
+        lines.select(F.explode(tagged_udf(F.col("raw"))).alias("ft"))
         .select(F.col("ft.form").alias("form"), F.col("ft.tags").alias("tags"))
         .filter(F.col("form") != "")
         .distinct()
         .collect()
     )
-    return build_compound_lexicon([(r["form"], r["tags"]) for r in rows], aff)
+    rule_rows = []
+    if (aff.get("compound") or {}).get("rules"):
+        # COMPOUNDRULE needs the word → pattern-flags projection; only
+        # the pattern-flagged subset survives the filter (bounded —
+        # en_US: the number words)
+
+        @F.pandas_udf("word string, fl string")
+        def rule_udf(entries: pd.Series) -> pd.DataFrame:
+            rules = aff_b.value
+            return pd.DataFrame(
+                {
+                    "word": entries.map(
+                        lambda e: e.partition("/")[0].strip()
+                    ),
+                    "fl": entries.map(lambda e: rule_flags_of(e, rules)),
+                }
+            )
+
+        rule_rows = (
+            lines.select(rule_udf(F.col("raw")).alias("wf"))
+            .select("wf.word", "wf.fl")
+            .filter((F.col("fl") != "") & (F.col("word") != ""))
+            .distinct()
+            .collect()
+        )
+    return build_compound_lexicon(
+        [(r["form"], r["tags"]) for r in rows],
+        aff,
+        rule_words=[(r["word"], r["fl"]) for r in rule_rows],
+    )
 
 
 def _compound_udfs(spark, compound):

@@ -572,3 +572,146 @@ def test_mark_with_compound_lexicon(spark, tmp_path):
     assert {r.word: r.oov for r in marked_plain.collect()}[
         "Dampfschifffahrt"
     ] is True
+
+
+def test_compound_rule_patterns():
+    """COMPOUNDRULE pattern compounds (hunspell man page `COMPOUNDRULE`,
+    the en_US ordinal mechanism): flags with */? modifiers matched as
+    an NFA over ≥2-part splits; parenthesized flags for long/num
+    modes; COMPOUNDMIN honored; flag-family and rule compounds
+    coexist."""
+    from cor_asv_ann_spark.corelib.affix import (
+        build_compound_lexicon,
+        expand_entry_tagged,
+        parse_aff,
+        parse_compound_rules,
+        rule_flags_of,
+    )
+
+    aff = parse_aff(
+        "SET UTF-8\nCOMPOUNDMIN 1\nCOMPOUNDRULE 2\n"
+        "COMPOUNDRULE AB*C\nCOMPOUNDRULE DD\n"
+    )
+    assert aff["compound"]["rules"] == ["AB*C", "DD"]
+    entries = ["x/A", "y/B", "z/C", "q/D"]
+    rw = [(e.partition("/")[0], rule_flags_of(e, aff)) for e in entries]
+    assert dict(rw) == {"x": "A", "y": "B", "z": "C", "q": "D"}
+    tagged = [t for e in entries for t in expand_entry_tagged(e, aff)]
+    lex = build_compound_lexicon(tagged, aff, rule_words=rw)
+    assert lex.accepts_compound("xz")        # B* empty
+    assert lex.accepts_compound("xyz")
+    assert lex.accepts_compound("xyyyz")     # B* repeats
+    assert not lex.accepts_compound("xy")    # missing C
+    assert not lex.accepts_compound("z")     # single part never
+    assert lex.accepts_compound("qq")
+    assert not lex.accepts_compound("qqq")   # DD is exactly two
+    assert not lex.accepts_compound("xzq")   # no rule concatenation
+
+    # en_US-shaped ordinals ("21st" = 2/n 1/1 st-carrier)
+    aff2 = parse_aff(
+        "SET UTF-8\nCOMPOUNDMIN 1\nONLYINCOMPOUND c\n"
+        "COMPOUNDRULE 2\nCOMPOUNDRULE n*1t\nCOMPOUNDRULE n*mp\n"
+    )
+    ents = ["0/nm", "1/n1", "2/n1", "3/n1", "0th/pt", "1st/p1t",
+            "2nd/p1t", "3rd/p1t"]
+    rw2 = [(e.partition("/")[0], rule_flags_of(e, aff2)) for e in ents]
+    tg2 = [t for e in ents for t in expand_entry_tagged(e, aff2)]
+    lex2 = build_compound_lexicon(tg2, aff2, rule_words=rw2)
+    assert lex2.accepts_compound("21st")
+    assert lex2.accepts_compound("101st")
+    assert lex2.accepts_compound("120th")
+    assert lex2.accepts_compound("10th")
+    assert not lex2.accepts_compound("1st")   # single part
+    assert not lex2.accepts_compound("1th")   # 1 is not m, th needs m+p
+    assert not lex2.accepts_compound("0th")   # 0th is one dict word
+
+    # parenthesized (long/num) pattern tokens
+    toks = parse_compound_rules(["(1001)(1002)*(1003)?"], "num")
+    assert toks == ((("1001", ""), ("1002", "*"), ("1003", "?")),)
+
+
+def test_compound_permit_forbid_flags():
+    """COMPOUNDPERMITFLAG opens inner positions for the affixed form,
+    COMPOUNDFORBIDFLAG closes all compound use (on the affix via the
+    appendage's continuation flags, on the entry via its own flags)."""
+    from cor_asv_ann_spark.corelib.affix import (
+        build_compound_lexicon,
+        expand_entry_tagged,
+        parse_aff,
+    )
+
+    aff = parse_aff(
+        "SET UTF-8\nCOMPOUNDFLAG X\nCOMPOUNDMIN 4\n"
+        "COMPOUNDPERMITFLAG P\nCOMPOUNDFORBIDFLAG F\n"
+        "SFX S Y 1\nSFX S 0 s/P .\n"
+        "SFX T Y 1\nSFX T 0 er/F .\n"
+    )
+    assert dict(expand_entry_tagged("Dampf/XS", aff)) == {
+        "Dampf": "sbme", "Dampfs": "sbme"}  # permit: inner allowed
+    assert dict(expand_entry_tagged("Schiff/XT", aff)) == {
+        "Schiff": "sbme", "Schiffer": "s"}  # forbid: no compound use
+    # forbid flag directly on an entry: word itself excluded
+    assert dict(expand_entry_tagged("Werk/XF", aff)) == {"Werk": "s"}
+
+    tagged = [
+        t for e in ["Dampf/XS", "Schiff/XT", "Fahrt/X"]
+        for t in expand_entry_tagged(e, aff)
+    ]
+    lex = build_compound_lexicon(tagged, aff)
+    assert lex.accepts_compound("dampfsfahrt")       # permitted inner -s-
+    assert lex.accepts_compound("dampfsdampffahrt")
+    assert lex.accepts_compound("dampfschiff")
+    assert not lex.accepts_compound("fahrtschiffer")  # forbidden suffix
+    # without permit/forbid the default edge rule still holds: a plain
+    # suffixed form may only END a compound
+    aff_plain = parse_aff(
+        "SET UTF-8\nCOMPOUNDFLAG X\nCOMPOUNDMIN 4\n"
+        "SFX S Y 1\nSFX S 0 s .\n"
+    )
+    tg = [
+        t for e in ["Dampf/XS", "Fahrt/X"]
+        for t in expand_entry_tagged(e, aff_plain)
+    ]
+    lexp = build_compound_lexicon(tg, aff_plain)
+    assert not lexp.accepts_compound("dampfsfahrt")
+    assert lexp.accepts_compound("fahrtdampfs")
+
+
+def test_mark_with_compound_rules(spark, tmp_path):
+    """COMPOUNDRULE through the real mark operator: pattern compounds
+    survive the lexicon-join miss and are rescued by the rule NFA
+    inside the same accepts pass. (Letter words only: the mark
+    processor's asword strips non-L/M chars BEFORE the spellcheck —
+    wrapper/mark.py:59-69 — so digit ordinals never reach hunspell in
+    the reference either; the ordinal mechanics are pinned at the
+    CompoundLexicon level above.)"""
+    from cor_asv_ann_spark.operators.mark import (
+        compound_lexicon_from_dic,
+        lexicon_from_wordlist,
+        mark_words,
+    )
+
+    (tmp_path / "en.aff").write_text(
+        "SET UTF-8\nCOMPOUNDMIN 2\n"
+        "COMPOUNDRULE 1\nCOMPOUNDRULE AB*C\n",
+        encoding="utf-8",
+    )
+    (tmp_path / "en.dic").write_text(
+        "5\nfoo/A\nmid/B\nbar/C\nword\nhello\n", encoding="utf-8"
+    )
+    lex = lexicon_from_wordlist(spark, str(tmp_path / "en.dic"))
+    comp = compound_lexicon_from_dic(spark, str(tmp_path / "en.dic"))
+    assert comp is not None and comp.rule_tokens
+    assert dict(comp.rule_words) == {
+        "foo": ("A",), "mid": ("B",), "bar": ("C",)}
+    words = spark.createDataFrame(
+        [("d1", 0, i, w, 100 + i) for i, w in enumerate(
+            ["foobar", "foomidmidbar", "word", "foomid", "barfoo"])],
+        "doc_id string, line_no int, word_idx int, word string, offset int",
+    )
+    flags = {r.word: r.oov for r in mark_words(words, lex, compound=comp).collect()}
+    assert flags["foobar"] is False        # A C (B* empty)
+    assert flags["foomidmidbar"] is False  # A B B C
+    assert flags["word"] is False          # plain join
+    assert flags["foomid"] is True         # no C
+    assert flags["barfoo"] is True         # wrong order
