@@ -231,3 +231,40 @@ def test_pagexml_ingest_single_wide_exchange(spark, tmp_path):
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_ex == 1, plan[:2000]
     assert "partial_collect_list" in plan  # map-side combine before it
+
+
+def test_align_vote_lines_plan(spark, tmp_path):
+    """Workspace N-way vote (align_vote_lines): no cartesian anywhere,
+    exactly one Arrow eval (the vote runs in ONE mapInPandas pass,
+    not per-group), and the per-group line tables join as plain
+    equi-joins on (doc_id, line_id) — co-partitionable at corpus
+    scale."""
+    import re
+
+    from cor_asv_ann_spark.operators.align_groups import align_vote_lines
+    from cor_asv_ann_spark.sources.pagexml import (
+        line_table,
+        read_pagexml_full,
+        synth_page_xml,
+    )
+
+    for g in ("a", "b", "c"):
+        d = tmp_path / g
+        d.mkdir()
+        (d / "p1.xml").write_bytes(
+            synth_page_xml("p1", "one line here\nanother line there\n",
+                           words_per_line=3)
+        )
+    tabs = [
+        line_table(read_pagexml_full(spark, str(tmp_path / g), level="line"))
+        for g in ("a", "b", "c")
+    ]
+    voted = align_vote_lines(tabs, method="majority")
+    plan = formatted_plan(voted)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # ONE vote pass: a single top-level Arrow/Python eval node beyond
+    # the three per-group parse UDFs (which are MapInPandas scans)
+    n_vote = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    n_map = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M))
+    assert n_map == 4, plan  # 3 parses + 1 vote
+    assert n_vote == 0
