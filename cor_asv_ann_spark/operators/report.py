@@ -83,3 +83,77 @@ def evaluation_report(
 
 def report_json(report: dict) -> str:
     return json.dumps(report, ensure_ascii=False, indent=2, default=str)
+
+
+def per_page_reports(
+    pairs: DataFrame,
+    metric: str = "Levenshtein-fast",
+    normalization: str | None = "historic_latin",
+    gt_level: int = 1,
+) -> DataFrame:
+    """pairs (doc_id, line_id, gt_text, ocr_text, ocr_grp) → one row
+    per (doc_id, ocr_grp) with the reference's per-page report fields
+    (wrapper/evaluate.py:199-213 accumulates Edits per file, then
+    report_pair writes num-lines/num-chars/num-words + CER/WER
+    mean±varia per pair). Two hash aggregations (char + word grain),
+    one join on the tiny aggregate — no per-page driver loop."""
+    if metric == "Levenshtein-fast":
+        scored = with_fast_distance(pairs)
+    else:
+        scored = with_adjusted_distance(
+            pairs, normalization=normalization, gt_level=gt_level
+        )
+    cer = cer_aggregate(scored, "doc_id", "ocr_grp").select(
+        "doc_id",
+        "ocr_grp",
+        F.col("n_lines").alias("num_lines"),
+        F.col("sum_len").alias("num_chars"),
+        F.col("cer").alias("char_error_rate_mean"),
+        F.col("var_rate").alias("char_error_rate_varia"),
+    )
+    wer = cer_aggregate(wer_pairs(pairs), "doc_id", "ocr_grp").select(
+        "doc_id",
+        "ocr_grp",
+        F.col("sum_len").alias("num_words"),
+        F.col("cer").alias("word_error_rate_mean"),
+        F.col("var_rate").alias("word_error_rate_varia"),
+    )
+    return cer.join(wer, ["doc_id", "ocr_grp"], "left")
+
+
+def write_page_reports(per_page: DataFrame, out_dir: str) -> int:
+    """Distributed per-page JSON writer: one ``<doc_id>.json`` per page
+    under ``out_dir`` (the evaluate processor's per-page output files),
+    keyed by OCR group inside each file. Tasks write their partitions;
+    returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [c for c in per_page.columns if c not in ("doc_id",)]
+    agg = per_page.groupBy("doc_id").agg(
+        F.collect_list(F.struct(*cols)).alias("rows")
+    )
+
+    def write_part(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                report = {}
+                for r in sorted(row["rows"], key=lambda r: r["ocr_grp"]):
+                    report[r["ocr_grp"]] = {
+                        k.replace("_", "-"): (
+                            float(v) if v is not None else None
+                        )
+                        for k, v in dict(r).items()
+                        if k != "ocr_grp"
+                    }
+                path = os.path.join(out_dir, f"{row['doc_id']}.json")
+                with open(path, "w", encoding="utf-8") as f:
+                    json.dump(report, f, ensure_ascii=False, indent=2)
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    parts = agg.mapInPandas(write_part, schema="n long")
+    return sum(r.n for r in parts.collect())

@@ -173,7 +173,7 @@ def add_filegrp(
     n = 0
     for path in files:
         doc_id = os.path.basename(path)
-        for ext in (".xml", ".page"):
+        for ext in (".xml", ".page", ".json"):
             if doc_id.endswith(ext):
                 doc_id = doc_id[: -len(ext)]
         fid = f"{file_grp}_{doc_id}"

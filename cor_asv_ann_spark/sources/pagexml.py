@@ -462,6 +462,55 @@ def line_table(full: DataFrame) -> DataFrame:
     )
 
 
+def alt_table(full: DataFrame) -> DataFrame:
+    """level='line' full frame → one row per TextLine TextEquiv
+    ALTERNATIVE: ``(doc_id, line_idx, line_id, alt_index, text,
+    conf)``. This is the evaluate processor's ``match_on=index`` axis
+    (wrapper/evaluate.py:155-160: multiple TextEquiv/@index within ONE
+    fileGrp, index 0 = ground truth) — the alternatives ride the
+    line_confmats channel of the same single scan."""
+    cm = F.from_json(
+        "line_confmats",
+        "array<array<array<struct<alt:string,p:double>>>>",
+    )
+    z = full.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.filter("spans", lambda s: s["kind"] == F.lit("line")).alias(
+                    "ls"
+                ),
+                cm.alias("cm"),
+            )
+        ).alias("line_idx", "z"),
+    )
+    lines = z.select(
+        "doc_id",
+        F.col("line_idx").cast("int"),
+        F.regexp_extract(
+            "z.ls.media_ref", r"^coords://([^/]*)/", 1
+        ).alias("line_id"),
+        # chunk 0 of the line's confmat = the line element's TextEquiv
+        # alternatives (chunk 1 is the artificial newline)
+        F.coalesce(F.col("z.cm").getItem(0), F.array()).alias("alts"),
+    )
+    return lines.select(
+        "doc_id",
+        "line_idx",
+        "line_id",
+        F.posexplode("alts").alias("alt_index", "a"),
+    ).select(
+        "doc_id",
+        "line_idx",
+        "line_id",
+        F.col("alt_index").cast("int"),
+        # empty alternatives were gap-repaired to GAP for the tensor
+        # channel; undo for the text axis
+        F.replace(F.col("a.alt"), F.lit(GAP), F.lit("")).alias("text"),
+        F.col("a.p").alias("conf"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic synthetic PAGE-XML (tests + oracle fixture): text in →
 # a page exercising ReadingOrder groups, nested regions, RTL/BTT

@@ -40,12 +40,27 @@ def main() -> None:
                     help="comma-separated fileGrps (with --mets)")
     ap.add_argument("--metric", default="Levenshtein-fast")
     ap.add_argument("--out")
+    ap.add_argument("--match-on", default="id", choices=["id", "index"],
+                    help="'id': lines matched by TextLine @id across "
+                         "groups (first = GT); 'index': TextEquiv "
+                         "alternatives WITHIN one group, @index 0 = GT "
+                         "(evaluate.py:53-60, exactly one input then)")
+    ap.add_argument("--per-page",
+                    help="also write one per-page JSON report per doc "
+                         "into this directory (with --mets use -O: the "
+                         "reports register as a json fileGrp)")
+    ap.add_argument("-O", "--output-file-grp",
+                    help="with --mets: fileGrp for the per-page reports")
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
-    if args.pagexml_in is not None and len(args.pagexml_in) < 2:
+    if args.pagexml_in is not None and len(args.pagexml_in) < 2 \
+            and args.match_on == "id":
         ap.error("--pagexml-in needs a GT directory plus at least one "
-                 "OCR directory")
+                 "OCR directory (or --match-on index with one input)")
+    if args.match_on == "index" and args.pagexml_in and len(args.pagexml_in) > 1:
+        ap.error("--match-on index takes exactly one input group "
+                 "(evaluate.py:55-57)")
 
     from pyspark.sql import functions as F
 
@@ -64,8 +79,10 @@ def main() -> None:
             args.mets, args.input_file_grp
         )
         names = args.input_file_grp.split(",")
-        if len(names) < 2:
+        if len(names) < 2 and args.match_on == "id":
             ap.error("-I needs a GT fileGrp plus at least one OCR fileGrp")
+        if len(names) > 1 and args.match_on == "index":
+            ap.error("--match-on index takes exactly one fileGrp")
         groups = list(zip(names, paths_per_grp))
     elif args.pagexml_in:
         import os
@@ -78,37 +95,96 @@ def main() -> None:
     spark = build_session(app="evaluate", cpus=args.cpus)
     if groups:
         from cor_asv_ann_spark.sources.pagexml import (
+            alt_table,
             line_table,
             read_pagexml_full,
         )
 
-        gt_lines = line_table(
-            read_pagexml_full(
-                spark, groups[0][1], level="line", on_error=args.on_error
-            )
-        ).select(
-            "doc_id", "line_id", F.col("text").alias("gt_text")
-        )
-        pairs = None
-        multi = len(groups) > 2  # more than one OCR group
-        for name, d in groups[1:]:
-            ocr_lines = line_table(
+        if args.match_on == "index":
+            # alternatives WITHIN one group: @index 0 = GT, every
+            # further index an "OCR" side (evaluate.py:155-160)
+            alts = alt_table(
                 read_pagexml_full(
-                    spark, d, level="line", on_error=args.on_error
+                    spark, groups[0][1], level="line",
+                    on_error=args.on_error,
+                )
+            )
+            gt = alts.filter(F.col("alt_index") == 0).select(
+                "doc_id", "line_idx", "line_id",
+                F.col("text").alias("gt_text"),
+            )
+            ocr = alts.filter(F.col("alt_index") > 0).select(
+                "doc_id", "line_idx",
+                F.col("text").alias("ocr_text"),
+                F.concat(F.lit("index "), F.col("alt_index")).alias(
+                    "ocr_grp"
+                ),
+            )
+            pairs = gt.join(ocr, ["doc_id", "line_idx"])
+            multi = True
+        else:
+            gt_lines = line_table(
+                read_pagexml_full(
+                    spark, groups[0][1], level="line",
+                    on_error=args.on_error,
                 )
             ).select(
-                "doc_id", "line_id", F.col("text").alias("ocr_text"),
-                F.lit(name).alias("ocr_grp"),
+                "doc_id", "line_id", F.col("text").alias("gt_text")
             )
-            p = gt_lines.join(ocr_lines, ["doc_id", "line_id"])
-            pairs = p if pairs is None else pairs.unionByName(p)
+            pairs = None
+            multi = len(groups) > 2  # more than one OCR group
+            for name, d in groups[1:]:
+                ocr_lines = line_table(
+                    read_pagexml_full(
+                        spark, d, level="line", on_error=args.on_error
+                    )
+                ).select(
+                    "doc_id", "line_id", F.col("text").alias("ocr_text"),
+                    F.lit(name).alias("ocr_grp"),
+                )
+                p = gt_lines.join(ocr_lines, ["doc_id", "line_id"])
+                pairs = p if pairs is None else pairs.unionByName(p)
         pairs = pairs.filter(F.col("gt_text") != "").select(
             "doc_id", "line_id", "gt_text", "ocr_text", "ocr_grp"
-        )
+        ).persist()
         report = evaluation_report(
             pairs, metric=args.metric,
             group_col="ocr_grp" if multi else None,
         )
+        per_page_dir = args.per_page
+        if args.mets and args.output_file_grp:
+            import os
+
+            per_page_dir = os.path.join(
+                os.path.dirname(os.path.abspath(args.mets)),
+                args.output_file_grp,
+            )
+        if per_page_dir:
+            from cor_asv_ann_spark.operators.report import (
+                per_page_reports,
+                write_page_reports,
+            )
+
+            n = write_page_reports(
+                per_page_reports(pairs, metric=args.metric), per_page_dir
+            )
+            report["per_page_files"] = n
+            if args.mets and args.output_file_grp:
+                import glob
+
+                from cor_asv_ann_spark.sources.mets import (
+                    add_filegrp,
+                    page_ids_of,
+                )
+
+                report["mets_registered"] = add_filegrp(
+                    args.mets,
+                    args.output_file_grp,
+                    sorted(glob.glob(f"{per_page_dir}/*.json")),
+                    page_ids=page_ids_of(args.mets, groups[0][0]),
+                    mimetype="application/json",
+                )
+        pairs.unpersist()
         text = report_json(report)
         if args.out:
             with open(args.out, "w") as f:

@@ -650,3 +650,76 @@ def test_render_page_lines_multi_textequiv(spark, tmp_path):
     line_texts = [t for k, t, _, _ in parsed["spans"] if k == "line"]
     assert line_texts == ["good", "solo"]  # primary = first TextEquiv
     assert parsed["line_confmats"][0][0] == [("good", 0.9), ("gond", 0.4)]
+
+
+def test_alt_table_and_per_page_reports(spark, tmp_path):
+    """match_on=index axis (wrapper/evaluate.py:155-160): TextEquiv
+    alternatives within one group come out of alt_table with @index
+    order preserved (index 0 = GT); per_page_reports aggregates the
+    reference's per-page report fields per (doc, group) and
+    write_page_reports lands one JSON per doc."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.operators.report import (
+        per_page_reports,
+        write_page_reports,
+    )
+    from cor_asv_ann_spark.sources.pagexml import (
+        alt_table,
+        read_pagexml_full,
+    )
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+    def page(lines):
+        body = ""
+        for i, alts in enumerate(lines):
+            tes = "".join(
+                f'<TextEquiv conf="0.9" index="{j}"><Unicode>{t}</Unicode>'
+                f"</TextEquiv>"
+                for j, t in enumerate(alts)
+            )
+            body += f'<TextLine id="l{i}">{tes}</TextLine>'
+        return (
+            f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+            f'<TextRegion id="r0">{body}</TextRegion></Page></PcGts>'
+        )
+
+    d = tmp_path / "OCR"
+    d.mkdir()
+    (d / "p1.xml").write_text(page([
+        ["good line", "gaod line"],
+        ["next line", "next l1ne"],
+    ]))
+    (d / "p2.xml").write_text(page([["solo text", "solo text"]]))
+
+    full = read_pagexml_full(spark, str(d), level="line")
+    alts = alt_table(full)
+    rows = {(r.doc_id, r.line_idx, r.alt_index): r.text
+            for r in alts.collect()}
+    assert rows[("p1", 0, 0)] == "good line"
+    assert rows[("p1", 0, 1)] == "gaod line"
+    assert rows[("p2", 0, 1)] == "solo text"
+
+    gt = alts.filter(F.col("alt_index") == 0).select(
+        "doc_id", "line_idx", F.col("text").alias("gt_text"))
+    ocr = alts.filter(F.col("alt_index") > 0).select(
+        "doc_id", "line_idx", F.col("text").alias("ocr_text"),
+        F.concat(F.lit("index "), F.col("alt_index")).alias("ocr_grp"))
+    pairs = gt.join(ocr, ["doc_id", "line_idx"]).withColumn(
+        "line_id", F.col("line_idx").cast("string"))
+
+    per_page = per_page_reports(pairs)
+    got = {(r.doc_id, r.ocr_grp): r for r in per_page.collect()}
+    assert got[("p1", "index 1")].num_lines == 2
+    assert abs(got[("p1", "index 1")].char_error_rate_mean - 2 / 18) < 1e-9
+    assert got[("p2", "index 1")].char_error_rate_mean == 0.0
+
+    out = tmp_path / "reports"
+    assert write_page_reports(per_page, str(out)) == 2
+    rep = _json.loads((out / "p1.json").read_text())
+    assert rep["index 1"]["num-lines"] == 2.0
+    assert abs(rep["index 1"]["char-error-rate-mean"] - 2 / 18) < 1e-9
+    assert rep["index 1"]["num-words"] == 4.0
