@@ -455,6 +455,11 @@ def line_table(full: DataFrame) -> DataFrame:
         F.regexp_extract(
             "z.ls.media_ref", r"^coords://([^/]*)/", 1
         ).alias("line_id"),
+        # Coords/@points — the `match-on=coords` join key
+        # (join.py:60-68, evaluate.py match_on)
+        F.regexp_extract(
+            "z.ls.media_ref", r"^coords://[^/]*/(.*)$", 1
+        ).alias("line_coords"),
         F.col("z.ls.text").alias("text"),
         F.slice(
             "z.cf", 1, F.greatest(F.size("z.cf") - 1, F.lit(0))

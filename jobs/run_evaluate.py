@@ -40,11 +40,13 @@ def main() -> None:
                     help="comma-separated fileGrps (with --mets)")
     ap.add_argument("--metric", default="Levenshtein-fast")
     ap.add_argument("--out")
-    ap.add_argument("--match-on", default="id", choices=["id", "index"],
-                    help="'id': lines matched by TextLine @id across "
-                         "groups (first = GT); 'index': TextEquiv "
-                         "alternatives WITHIN one group, @index 0 = GT "
-                         "(evaluate.py:53-60, exactly one input then)")
+    ap.add_argument("--match-on", default="id",
+                    choices=["id", "coords", "index"],
+                    help="'id'/'coords': lines matched by TextLine @id "
+                         "or Coords/@points across groups (first = GT); "
+                         "'index': TextEquiv alternatives WITHIN one "
+                         "group, @index 0 = GT (evaluate.py:53-60, "
+                         "exactly one input then)")
     ap.add_argument("--per-page",
                     help="also write one per-page JSON report per doc "
                          "into this directory (with --mets use -O: the "
@@ -123,13 +125,15 @@ def main() -> None:
             pairs = gt.join(ocr, ["doc_id", "line_idx"])
             multi = True
         else:
+            key = "line_id" if args.match_on == "id" else "line_coords"
             gt_lines = line_table(
                 read_pagexml_full(
                     spark, groups[0][1], level="line",
                     on_error=args.on_error,
                 )
             ).select(
-                "doc_id", "line_id", F.col("text").alias("gt_text")
+                "doc_id", "line_id", F.col(key).alias("line_key"),
+                F.col("text").alias("gt_text"),
             )
             pairs = None
             multi = len(groups) > 2  # more than one OCR group
@@ -139,10 +143,11 @@ def main() -> None:
                         spark, d, level="line", on_error=args.on_error
                     )
                 ).select(
-                    "doc_id", "line_id", F.col("text").alias("ocr_text"),
+                    "doc_id", F.col(key).alias("line_key"),
+                    F.col("text").alias("ocr_text"),
                     F.lit(name).alias("ocr_grp"),
                 )
-                p = gt_lines.join(ocr_lines, ["doc_id", "line_id"])
+                p = gt_lines.join(ocr_lines, ["doc_id", "line_key"])
                 pairs = p if pairs is None else pairs.unionByName(p)
         pairs = pairs.filter(F.col("gt_text") != "").select(
             "doc_id", "line_id", "gt_text", "ocr_text", "ocr_grp"

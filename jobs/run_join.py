@@ -60,6 +60,10 @@ def main() -> None:
                     help="output fileGrp (with --mets)")
     ap.add_argument("--add-filegrp-comments", action="store_true")
     ap.add_argument("--add-filegrp-index", action="store_true")
+    ap.add_argument("--match-on", default="id", choices=["id", "coords"],
+                    help="line match key across groups: TextLine @id or "
+                         "Coords/@points (join.py:60-68; baseline is "
+                         "not captured by the span anchor)")
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -96,13 +100,17 @@ def main() -> None:
         grp_names = [
             os.path.basename(os.path.normpath(d[0])) or d[0] for d in inputs
         ]
+    # match-on=id joins by TextLine @id, match-on=coords by the
+    # polygon (join.py:60-68; baseline matching needs a Baseline
+    # element the span anchor does not carry — out of scope, loudly)
+    key = "line_id" if args.match_on == "id" else "line_coords"
     union = None
     for g, d in enumerate(inputs):
         t = line_table(
             read_pagexml_full(spark, d, level="line", on_error=args.on_error)
         ).select(
             "doc_id",
-            "line_id",
+            F.col(key).alias("line_key"),
             "text",
             # line-level conf = mean of the per-char channel
             F.coalesce(
@@ -116,7 +124,7 @@ def main() -> None:
         )
         union = t if union is None else union.unionByName(t)
 
-    alts = union.groupBy("doc_id", "line_id").agg(
+    alts = union.groupBy("doc_id", "line_key").agg(
         F.array_sort(
             F.collect_list(F.struct("grp", "text", "conf"))
         ).alias("alts")
@@ -126,12 +134,14 @@ def main() -> None:
             read_pagexml_full(
                 spark, inputs[0], level="line", on_error=args.on_error
             )
-        ).select("doc_id", "line_idx", "line_ref", "line_id")
+        ).select(
+            "doc_id", "line_idx", "line_ref", F.col(key).alias("line_key")
+        )
     )
     idx_lit = F.lit(args.add_filegrp_index)
     cmt_lit = F.lit(args.add_filegrp_comments)
     grp_name_arr = F.array(*[F.lit(n) for n in grp_names])
-    lines = master.join(alts, ["doc_id", "line_id"], "left").select(
+    lines = master.join(alts, ["doc_id", "line_key"], "left").select(
         "doc_id",
         "line_idx",
         F.struct(

@@ -440,3 +440,59 @@ def test_run_align_join_evaluate_workspaces(tmp_path):
     assert cer["a"] == 0.0
     assert abs(cer["b"] - 2 / 39) < 1e-9 and abs(cer["c"] - 2 / 39) < 1e-9
     assert {w["ocr_grp"] for w in report["wer"]} == {"a", "b", "c"}
+
+
+def test_match_on_coords(tmp_path):
+    """`match-on=coords` (join.py:60-68): groups whose TextLine ids
+    DIVERGE still pair by Coords/@points geometry in run_join and
+    run_evaluate."""
+    import json
+    import subprocess
+    import sys
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+    def page(lines, prefix):
+        body = "".join(
+            f'<TextLine id="{prefix}{i}">'
+            f'<Coords points="0,{i*9} 90,{i*9+8}"/>'
+            f'<TextEquiv conf="0.8"><Unicode>{t}</Unicode></TextEquiv>'
+            f"</TextLine>"
+            for i, t in enumerate(lines)
+        )
+        return (
+            f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+            f'<TextRegion id="r0">{body}</TextRegion></Page></PcGts>'
+        )
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "p1.xml").write_text(
+        page(["the quick brown fox", "jumps over lazy dogs"], "l"))
+    (tmp_path / "b" / "p1.xml").write_text(
+        page(["the qu1ck brown fox", "jumps ovor lazy dogs"], "x"))
+
+    r = subprocess.run(
+        [sys.executable, "jobs/run_join.py", "--pagexml-in",
+         str(tmp_path / "a"), str(tmp_path / "b"),
+         "--pagexml-out", str(tmp_path / "joined"),
+         "--match-on", "coords", "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["lines"] == 2 and rep["alternatives"] == 4
+    joined = (tmp_path / "joined" / "p1.xml").read_text()
+    assert "qu1ck" in joined and "quick" in joined  # both alternatives
+
+    r = subprocess.run(
+        [sys.executable, "jobs/run_evaluate.py", "--pagexml-in",
+         str(tmp_path / "a"), str(tmp_path / "b"),
+         "--match-on", "coords",
+         "--out", str(tmp_path / "rep.json"), "--cpus", "4"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads((tmp_path / "rep.json").read_text())
+    assert rep["cer"][0]["n_lines"] == 2
+    assert abs(rep["cer"][0]["cer"] - 2 / 39) < 1e-9
