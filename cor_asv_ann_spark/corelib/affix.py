@@ -549,11 +549,21 @@ def build_compound_lexicon(
         rule_tokens=parse_compound_rules(
             comp.get("rules") or [], aff["flag_mode"]
         ),
-        rule_words=tuple(
-            sorted(
-                ((w.lower() if lower else w), tuple(fl.split(",")))
-                for w, fl in (rule_words or [])
-                if fl
-            )
-        ),
+        rule_words=_merge_rule_words(rule_words or [], lower),
+    )
+
+
+def _merge_rule_words(
+    rule_words: "list[tuple[str, str]]", lower: bool
+) -> "tuple[tuple[str, tuple[str, ...]], ...]":
+    """Case-fold and UNION flag sets — two entries folding to the same
+    word must pool their pattern flags, not last-write-win."""
+    merged: dict[str, set] = {}
+    for w, fl in rule_words:
+        if not fl:
+            continue
+        k = w.lower() if lower else w
+        merged.setdefault(k, set()).update(f for f in fl.split(",") if f)
+    return tuple(
+        sorted((k, tuple(sorted(v))) for k, v in merged.items() if v)
     )

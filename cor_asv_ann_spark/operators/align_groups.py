@@ -115,11 +115,16 @@ def align_vote_lines(
     text. One broadcast-free equi-join per extra group + one Arrow
     batch pass — no driver loop, no shuffle beyond the joins."""
     assert tables, "need at least one input group"
+    # join key: the TextLine @id, nulled when EMPTY — two id-less lines
+    # in one page must not cross-match (null never equi-joins; the
+    # master row survives the left join and keeps its own text)
+    key = F.when(F.col("line_id") != "", F.col("line_id"))
     joined = tables[0].select(
         "doc_id",
         "line_idx",
         "line_ref",
         "line_id",
+        key.alias("_k"),
         F.col("text").alias("t0"),
         F.col("confs").alias("c0"),
     )
@@ -127,13 +132,14 @@ def align_vote_lines(
         joined = joined.join(
             t.select(
                 "doc_id",
-                "line_id",
+                key.alias("_k"),
                 F.col("text").alias(f"t{g}"),
                 F.col("confs").alias(f"c{g}"),
             ),
-            ["doc_id", "line_id"],
+            ["doc_id", "_k"],
             "left",
         )
+    joined = joined.drop("_k")
     n = len(tables)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

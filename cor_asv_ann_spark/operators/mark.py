@@ -129,34 +129,19 @@ def lexicon_from_wordlist(
     )
 
 
-def compound_lexicon_from_dic(spark, path: str, aff_path: "str | None" = None):
-    """Hunspell COMPOUND*/ICONV acceptance for :func:`mark_words`
-    (wrapper/mark.py:59-69 shells out to hunspell, which resolves
-    German-style compounds at lookup time — unboundedly many surface
-    forms, so they cannot be pre-expanded into the join lexicon).
-    Returns a broadcast-ready :class:`~..corelib.affix.CompoundLexicon`
-    or ``None`` when the ``.aff`` carries no COMPOUND*/ICONV
-    directives. The tagged expansion runs distributed; only the
-    dictionary-bounded distinct (form, tags) pairs are collected."""
-    import os
-
-    from ..corelib.affix import (
-        build_compound_lexicon,
-        expand_entry_tagged,
-        parse_aff,
-        rule_flags_of,
+def _dic_lines(spark, path: str) -> DataFrame:
+    return (
+        spark.read.text(path)
+        .select(F.trim(F.col("value")).alias("raw"))
+        .filter((F.col("raw") != "") & ~F.col("raw").rlike("^[0-9]+$"))
     )
 
-    if aff_path is None and path.endswith(".dic"):
-        sibling = path[: -len(".dic")] + ".aff"
-        if os.path.exists(sibling):
-            aff_path = sibling
-    if aff_path is None:
-        return None
-    with open(aff_path, encoding="utf-8", errors="replace") as f:
-        aff = parse_aff(f.read())
-    if not aff.get("compound") and not aff.get("iconv"):
-        return None
+
+def _tagged_frame(spark, path: str, aff: dict) -> DataFrame:
+    """.dic → distinct (form, tags) rows via the distributed tagged
+    expansion (broadcast .aff rules)."""
+    from ..corelib.affix import expand_entry_tagged
+
     aff_b = spark.sparkContext.broadcast(aff)
 
     @F.pandas_udf(
@@ -173,48 +158,130 @@ def compound_lexicon_from_dic(spark, path: str, aff_path: "str | None" = None):
         rules = aff_b.value
         return entries.map(lambda e: expand_entry_tagged(e, rules))
 
-    lines = (
-        spark.read.text(path)
-        .select(F.trim(F.col("value")).alias("raw"))
-        .filter((F.col("raw") != "") & ~F.col("raw").rlike("^[0-9]+$"))
-    )
-    rows = (
-        lines.select(F.explode(tagged_udf(F.col("raw"))).alias("ft"))
+    return (
+        _dic_lines(spark, path)
+        .select(F.explode(tagged_udf(F.col("raw"))).alias("ft"))
         .select(F.col("ft.form").alias("form"), F.col("ft.tags").alias("tags"))
         .filter(F.col("form") != "")
         .distinct()
+    )
+
+
+def _rule_word_rows(spark, path: str, aff: dict) -> list:
+    """COMPOUNDRULE word → pattern-flags projection; only the
+    pattern-flagged subset survives the filter (bounded — en_US: the
+    number words). The pattern flag set is computed ONCE per batch,
+    not per entry."""
+    from ..corelib.affix import _split_flags, parse_compound_rules
+
+    aff_b = spark.sparkContext.broadcast(aff)
+
+    @F.pandas_udf("word string, fl string")
+    def rule_udf(entries: pd.Series) -> pd.DataFrame:
+        a = aff_b.value
+        comp = a.get("compound") or {}
+        mode = a["flag_mode"]
+        wanted = {
+            f
+            for toks in parse_compound_rules(comp.get("rules") or [], mode)
+            for f, _ in toks
+        }
+        words, fls = [], []
+        for e in entries:
+            w, _, ff = e.partition("/")
+            w = w.strip()
+            words.append(w)
+            if not w or not ff or not wanted:
+                fls.append("")
+            else:
+                fls.append(
+                    ",".join(
+                        sorted(set(_split_flags(ff.strip(), mode)) & wanted)
+                    )
+                )
+        return pd.DataFrame({"word": words, "fl": fls})
+
+    return (
+        _dic_lines(spark, path)
+        .select(rule_udf(F.col("raw")).alias("wf"))
+        .select("wf.word", "wf.fl")
+        .filter((F.col("fl") != "") & (F.col("word") != ""))
+        .distinct()
         .collect()
     )
+
+
+def _resolve_aff(path: str, aff_path: "str | None") -> "str | None":
+    import os
+
+    if aff_path is None and path.endswith(".dic"):
+        sibling = path[: -len(".dic")] + ".aff"
+        if os.path.exists(sibling):
+            return sibling
+    return aff_path
+
+
+def _compound_from_tagged(spark, path, aff, tagged_rows):
+    from ..corelib.affix import build_compound_lexicon
+
     rule_rows = []
     if (aff.get("compound") or {}).get("rules"):
-        # COMPOUNDRULE needs the word → pattern-flags projection; only
-        # the pattern-flagged subset survives the filter (bounded —
-        # en_US: the number words)
-
-        @F.pandas_udf("word string, fl string")
-        def rule_udf(entries: pd.Series) -> pd.DataFrame:
-            rules = aff_b.value
-            return pd.DataFrame(
-                {
-                    "word": entries.map(
-                        lambda e: e.partition("/")[0].strip()
-                    ),
-                    "fl": entries.map(lambda e: rule_flags_of(e, rules)),
-                }
-            )
-
-        rule_rows = (
-            lines.select(rule_udf(F.col("raw")).alias("wf"))
-            .select("wf.word", "wf.fl")
-            .filter((F.col("fl") != "") & (F.col("word") != ""))
-            .distinct()
-            .collect()
-        )
+        rule_rows = _rule_word_rows(spark, path, aff)
     return build_compound_lexicon(
-        [(r["form"], r["tags"]) for r in rows],
+        [(r["form"], r["tags"]) for r in tagged_rows],
         aff,
         rule_words=[(r["word"], r["fl"]) for r in rule_rows],
     )
+
+
+def compound_lexicon_from_dic(spark, path: str, aff_path: "str | None" = None):
+    """Hunspell COMPOUND*/ICONV acceptance for :func:`mark_words`
+    (wrapper/mark.py:59-69 shells out to hunspell, which resolves
+    German-style compounds at lookup time — unboundedly many surface
+    forms, so they cannot be pre-expanded into the join lexicon).
+    Returns a broadcast-ready :class:`~..corelib.affix.CompoundLexicon`
+    or ``None`` when the ``.aff`` carries no COMPOUND*/ICONV
+    directives. The tagged expansion runs distributed; only the
+    dictionary-bounded distinct (form, tags) pairs are collected."""
+    from ..corelib.affix import parse_aff
+
+    aff_path = _resolve_aff(path, aff_path)
+    if aff_path is None:
+        return None
+    with open(aff_path, encoding="utf-8", errors="replace") as f:
+        aff = parse_aff(f.read())
+    if not aff.get("compound") and not aff.get("iconv"):
+        return None
+    rows = _tagged_frame(spark, path, aff).collect()
+    return _compound_from_tagged(spark, path, aff, rows)
+
+
+def lexicon_and_compound(spark, path: str, aff_path: "str | None" = None):
+    """ONE distributed dictionary expansion feeding BOTH marking
+    surfaces: the broadcast join lexicon (standalone forms) and the
+    :class:`CompoundLexicon` (part sets + COMPOUNDRULE words).
+    `lexicon_from_wordlist` + `compound_lexicon_from_dic` each
+    re-expand the whole ``.dic``; run_mark uses this to pay for the
+    expansion once. Returns ``(lexicon_df, compound_or_None)``."""
+    from ..corelib.affix import parse_aff
+
+    aff_path = _resolve_aff(path, aff_path)
+    if aff_path is None:
+        return lexicon_from_wordlist(spark, path), None
+    with open(aff_path, encoding="utf-8", errors="replace") as f:
+        aff = parse_aff(f.read())
+    rows = _tagged_frame(spark, path, aff).collect()
+    # ONLYINCOMPOUND forms are parts, not words — standalone only;
+    # built from the already-collected rows (dictionary-bounded), so
+    # the lexicon join side needs no second expansion job
+    forms = sorted({r["form"] for r in rows if "s" in r["tags"]})
+    lexicon = spark.createDataFrame(
+        [(w,) for w in forms], "entry string"
+    )
+    comp = None
+    if aff.get("compound") or aff.get("iconv"):
+        comp = _compound_from_tagged(spark, path, aff, rows)
+    return lexicon, comp
 
 
 def _compound_udfs(spark, compound):
@@ -312,6 +379,16 @@ def dehyphenate_recheck(
     joined = F.concat(
         F.expr("substring(word, 1, length(word) - 1)"), F.col("next_word")
     )
+    # normalize the rejoined candidate EXACTLY like mark_words does a
+    # single word: charmap + ICONV (when the .aff has one) + asword —
+    # otherwise an ICONV-mapped char in the joined form would miss both
+    # the lexicon join and the compound rescue while its unhyphenated
+    # twin matches
+    accepts_udf = None
+    if compound is not None:
+        iconv_udf, accepts_udf = _compound_udfs(marked.sparkSession, compound)
+        if compound.iconv:
+            joined = iconv_udf(joined)
     cand = df.withColumn(
         "joined", F.when(hyph, F.lower(asword_normalizer(charmap)(joined)))
     )
@@ -327,8 +404,7 @@ def dehyphenate_recheck(
     )
     out = cand.join(F.broadcast(lex), "joined", "left")
     dehyph_iv = F.col("joined").isNotNull() & F.col("lex_iv").isNotNull()
-    if compound is not None:
-        _, accepts_udf = _compound_udfs(marked.sparkSession, compound)
+    if accepts_udf is not None:
         dehyph_iv = dehyph_iv | (
             F.col("joined").isNotNull()
             & F.coalesce(

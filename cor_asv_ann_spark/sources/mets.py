@@ -148,21 +148,28 @@ def add_filegrp(
     filesec = root.find(f"{_M}fileSec")
     if filesec is None:
         filesec = ET.SubElement(root, f"{_M}fileSec")
-    # replace an existing group of the same USE (rerun semantics)
+    # replace an existing group of the same USE (rerun semantics) and
+    # remember its ACTUAL file ids — prefix matching would both leave
+    # dangling fptrs for foreign id schemes and delete another group's
+    # fptrs that merely share the prefix
+    removed_ids: set[str] = set()
     for grp in filesec.findall(f"{_M}fileGrp"):
         if grp.get("USE") == file_grp:
+            removed_ids.update(
+                f.get("ID") or "" for f in grp.findall(f"{_M}file")
+            )
             filesec.remove(grp)
+    removed_ids.discard("")
     grp = ET.SubElement(filesec, f"{_M}fileGrp", {"USE": file_grp})
-    # drop stale fptrs of the replaced group's file ids
-    old_prefix = f"{file_grp}_"
     phys = None
     for smap in root.iter(f"{_M}structMap"):
         if smap.get("TYPE") == "physical":
             phys = smap
-            for div in smap.iter(f"{_M}div"):
-                for fptr in list(div.findall(f"{_M}fptr")):
-                    if (fptr.get("FILEID") or "").startswith(old_prefix):
-                        div.remove(fptr)
+            if removed_ids:
+                for div in smap.iter(f"{_M}div"):
+                    for fptr in list(div.findall(f"{_M}fptr")):
+                        if (fptr.get("FILEID") or "") in removed_ids:
+                            div.remove(fptr)
     divs_by_id = {}
     if phys is not None:
         divs_by_id = {
@@ -201,51 +208,87 @@ def resolve_workspace(
     mets_path: str,
     input_file_grp: str,
     output_file_grp: str | None = None,
+    remap_pages: bool = False,
 ):
     """CLI -I/-O resolution (the ocrd_cli_options contract): comma-split
     ``input_file_grp``, resolve each group to its page files, and — when
     an output group is named — prepare its directory next to the METS
     plus a ``register(files)`` callback that books the produced files
-    into the METS (page identity from the FIRST input group, the master
-    convention used everywhere else).
+    into the METS.
 
-    Returns ``(paths_per_grp, out_dir, register)``; ``out_dir`` and
-    ``register`` are None without an output group."""
+    ``remap_pages=True`` is for the MULTI-group processors (align /
+    join / evaluate): a real workspace names each group's files after
+    its own FILEIDs (``OCR-D-OCR1_0001.xml`` vs ``OCR-D-OCR2_0001.xml``),
+    so file basenames NEVER collide across groups — cross-group
+    matching must go through the structMap physical page. Each group
+    then gets a ``page_maps`` entry (basename → physical page @ID) to
+    rewrite ``doc_id`` with (see :func:`remap_doc_ids`), output files
+    are named by page id, and ``register`` books them with an identity
+    page map.
+
+    Returns ``(paths_per_grp, out_dir, register, page_maps)``;
+    ``out_dir``/``register`` are None without an output group."""
     grps = [g for g in input_file_grp.split(",") if g]
     paths_per_grp = [filegrp_paths(mets_path, g) for g in grps]
     for g, paths in zip(grps, paths_per_grp):
         if not paths:
             raise ValueError(f"fileGrp {g!r} has no PAGE-XML files")
+    page_maps = [page_ids_of(mets_path, g) for g in grps]
     if output_file_grp is None:
-        return paths_per_grp, None, None
+        return paths_per_grp, None, None, page_maps
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(mets_path)), output_file_grp
     )
     os.makedirs(out_dir, exist_ok=True)
-    pids = page_ids_of(mets_path, grps[0])
+    if remap_pages:
+        pids = {pid: pid for pid in page_maps[0].values() if pid}
+    else:
+        pids = page_maps[0]
 
     def register(files: list[str]) -> int:
         return add_filegrp(
             mets_path, output_file_grp, sorted(files), page_ids=pids
         )
 
-    return paths_per_grp, out_dir, register
+    return paths_per_grp, out_dir, register, page_maps
+
+
+def remap_doc_ids(df, page_map: dict[str, str]):
+    """Rewrite a frame's ``doc_id`` (file basename) to the physical
+    page @ID via a broadcast map literal (workspace-bounded: one entry
+    per page of one book). Basenames without a structMap entry pass
+    through unchanged."""
+    from pyspark.sql import functions as F
+
+    entries = {k: v for k, v in (page_map or {}).items() if v}
+    if not entries:
+        return df
+    m = F.create_map(
+        *[F.lit(x) for kv in entries.items() for x in kv]
+    )
+    return df.withColumn(
+        "doc_id", F.coalesce(m.getItem(F.col("doc_id")), F.col("doc_id"))
+    )
 
 
 def synth_mets(
-    workspace_dir: str, file_grps: dict[str, list[str]]
+    workspace_dir: str, file_grps: dict
 ) -> str:
     """Test helper: write a minimal valid mets.xml for page files
     already present under ``workspace_dir`` — ``file_grps`` maps USE →
-    relative file paths, page divs keyed by file basename so every
-    group's file for the same basename lands on the same physical
-    page. Returns the mets.xml path."""
+    relative file paths (page divs keyed by file basename), or USE →
+    ``(rel_path, page_id)`` tuples for the realistic case where each
+    group names its files differently and only the structMap ties them
+    to the same physical page. Returns the mets.xml path."""
     root = ET.Element(f"{_M}mets")
     filesec = ET.SubElement(root, f"{_M}fileSec")
     pages: dict[str, list[str]] = {}
     for use, rels in file_grps.items():
         grp = ET.SubElement(filesec, f"{_M}fileGrp", {"USE": use})
         for rel in rels:
+            pid = None
+            if isinstance(rel, tuple):
+                rel, pid = rel
             doc = os.path.basename(rel).rsplit(".", 1)[0]
             fid = f"{use}_{doc}"
             fel = ET.SubElement(
@@ -256,7 +299,7 @@ def synth_mets(
                 {"LOCTYPE": "OTHER", "OTHERLOCTYPE": "FILE",
                  f"{_XL}href": rel},
             )
-            pages.setdefault(f"phys_{doc}", []).append(fid)
+            pages.setdefault(pid or f"phys_{doc}", []).append(fid)
     smap = ET.SubElement(root, f"{_M}structMap", {"TYPE": "physical"})
     top = ET.SubElement(smap, f"{_M}div", {"TYPE": "physSequence"})
     for i, (pid, fids) in enumerate(sorted(pages.items())):

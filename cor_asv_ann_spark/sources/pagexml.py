@@ -74,15 +74,26 @@ def _first(el, name: str):
 
 
 def _textequivs(el) -> list[tuple[str, float]]:
-    """Element → [(unicode, conf)] in document order (first = primary,
-    as ocrd get_TextEquiv / page_element_unicode0)."""
+    """Element → [(unicode, conf)], ordered by TextEquiv/@index when
+    present (stable on document order otherwise) — PAGE allows the
+    alternatives serialized in any order, and the reference's
+    match_on=index mode keys on the ATTRIBUTE (evaluate.py:155-160),
+    with index 0 / the first equiv as primary."""
     tes = []
-    for te in _kids(el, "TextEquiv"):
+    for pos, te in enumerate(_kids(el, "TextEquiv")):
         uni = _first(te, "Unicode")
         text = uni.text if uni is not None and uni.text is not None else ""
         conf = te.get("conf")
-        tes.append((text, float(conf) if conf is not None else 1.0))
-    return tes
+        idx = te.get("index")
+        # malformed @index raises like any other torn attribute — the
+        # scan's on_error policy decides (fail loudly / skip visibly)
+        idx = int(idx) if idx is not None else None
+        tes.append(
+            (idx if idx is not None else pos, pos, text,
+             float(conf) if conf is not None else 1.0)
+        )
+    tes.sort(key=lambda t: (t[0], t[1]))
+    return [(text, conf) for _, _, text, conf in tes]
 
 
 def _anchor(el) -> str | None:
@@ -233,6 +244,7 @@ def parse_page_xml(
                 lines.append(seq)
 
     spans: list[tuple[str, str, str | None, int]] = []
+    span_confs: list[float] = []
     line_confs: list[list[float]] = []
     line_confmats: list[list[list[tuple[str, float]]]] = []
     off = 0
@@ -241,17 +253,24 @@ def parse_page_xml(
         chunks: list[list[tuple[str, float]]] = []
         for kind, text, ref, alts in seq:
             spans.append((kind, text, ref, off))
+            span_confs.append(alts[0][1])
             off += 1
             confs.extend([alts[0][1]] * len(text))
             chunks.append(alts)
         line_confs.append(confs)
         line_confmats.append(chunks)
-    return {"spans": spans, "line_confs": line_confs, "line_confmats": line_confmats}
+    return {
+        "spans": spans,
+        "span_confs": span_confs,
+        "line_confs": line_confs,
+        "line_confmats": line_confmats,
+    }
 
 
 _FULL_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "span_confs array<float>, "
     "line_confs array<array<float>>, line_confmats string"
 )
 
@@ -283,7 +302,8 @@ def _parse_files(level: str, on_error: str = "fail"):
                     # page stays VISIBLE (doc_id present, zero spans)
                     # instead of silently vanishing from the corpus
                     rows.append({"doc_id": doc_id, "spans": [],
-                                 "line_confs": [], "line_confmats": "[]"})
+                                 "span_confs": [], "line_confs": [],
+                                 "line_confmats": "[]"})
                     continue
                 rows.append(
                     {
@@ -292,6 +312,7 @@ def _parse_files(level: str, on_error: str = "fail"):
                             {"kind": k, "text": t, "media_ref": r, "offset": o}
                             for k, t, r, o in parsed["spans"]
                         ],
+                        "span_confs": parsed["span_confs"],
                         "line_confs": parsed["line_confs"],
                         # doubly-nested struct arrays trip Arrow's pandas
                         # path (see correct_pipeline's confmat JSON note)
@@ -307,7 +328,9 @@ def _parse_files(level: str, on_error: str = "fail"):
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "spans", "line_confs", "line_confmats"]
+                rows,
+                columns=["doc_id", "spans", "span_confs", "line_confs",
+                         "line_confmats"],
             )
 
     return parse

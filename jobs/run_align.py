@@ -62,13 +62,18 @@ def main() -> None:
     args = ap.parse_args()
 
     register = None
+    page_maps = None
     if args.mets:
         if not (args.input_file_grp and args.output_file_grp):
             ap.error("--mets needs -I and -O")
         from cor_asv_ann_spark.sources.mets import resolve_workspace
 
-        inputs, out_dir, register = resolve_workspace(
-            args.mets, args.input_file_grp, args.output_file_grp
+        # remap_pages: each fileGrp names its files after its own
+        # FILEIDs, so cross-group matching must go through the
+        # structMap physical page ids, not file basenames
+        inputs, out_dir, register, page_maps = resolve_workspace(
+            args.mets, args.input_file_grp, args.output_file_grp,
+            remap_pages=True,
         )
     elif args.pagexml_in and args.pagexml_out:
         inputs, out_dir = [[d] for d in args.pagexml_in], args.pagexml_out
@@ -97,6 +102,10 @@ def main() -> None:
         )
         for p in inputs
     ]
+    if page_maps is not None:
+        from cor_asv_ann_spark.sources.mets import remap_doc_ids
+
+        tables = [remap_doc_ids(t, m) for t, m in zip(tables, page_maps)]
     voted = align_vote_lines(tables, method=args.method).persist()
 
     # reassemble the span skeleton per doc: line span (master geometry)

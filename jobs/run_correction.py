@@ -76,7 +76,7 @@ def main() -> None:
             ap.error("--mets replaces --pagexml-in/--pagexml-out")
         from cor_asv_ann_spark.sources.mets import resolve_workspace
 
-        (mets_paths,), mets_out, mets_register = resolve_workspace(
+        (mets_paths,), mets_out, mets_register, _ = resolve_workspace(
             args.mets, args.input_file_grp, args.output_file_grp
         )
         args.pagexml_in, args.pagexml_out = mets_paths, mets_out

@@ -57,7 +57,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
     if args.pagexml_in is not None and len(args.pagexml_in) < 2 \
-            and args.match_on == "id":
+            and args.match_on != "index":
         ap.error("--pagexml-in needs a GT directory plus at least one "
                  "OCR directory (or --match-on index with one input)")
     if args.match_on == "index" and args.pagexml_in and len(args.pagexml_in) > 1:
@@ -77,11 +77,11 @@ def main() -> None:
             ap.error("--mets needs -I")
         from cor_asv_ann_spark.sources.mets import resolve_workspace
 
-        paths_per_grp, _, _ = resolve_workspace(
+        paths_per_grp, _, _, page_maps = resolve_workspace(
             args.mets, args.input_file_grp
         )
         names = args.input_file_grp.split(",")
-        if len(names) < 2 and args.match_on == "id":
+        if len(names) < 2 and args.match_on != "index":
             ap.error("-I needs a GT fileGrp plus at least one OCR fileGrp")
         if len(names) > 1 and args.match_on == "index":
             ap.error("--match-on index takes exactly one fileGrp")
@@ -102,14 +102,27 @@ def main() -> None:
             read_pagexml_full,
         )
 
+        def with_page_ids(df, i):
+            # METS mode: fileGrps name files after their own FILEIDs,
+            # so cross-group matching goes through the structMap
+            # physical page ids, not file basenames
+            if args.mets:
+                from cor_asv_ann_spark.sources.mets import remap_doc_ids
+
+                return remap_doc_ids(df, page_maps[i])
+            return df
+
         if args.match_on == "index":
             # alternatives WITHIN one group: @index 0 = GT, every
             # further index an "OCR" side (evaluate.py:155-160)
-            alts = alt_table(
-                read_pagexml_full(
-                    spark, groups[0][1], level="line",
-                    on_error=args.on_error,
-                )
+            alts = with_page_ids(
+                alt_table(
+                    read_pagexml_full(
+                        spark, groups[0][1], level="line",
+                        on_error=args.on_error,
+                    )
+                ),
+                0,
             )
             gt = alts.filter(F.col("alt_index") == 0).select(
                 "doc_id", "line_idx", "line_id",
@@ -126,24 +139,32 @@ def main() -> None:
             multi = True
         else:
             key = "line_id" if args.match_on == "id" else "line_coords"
-            gt_lines = line_table(
-                read_pagexml_full(
-                    spark, groups[0][1], level="line",
-                    on_error=args.on_error,
-                )
+            # empty keys → null: two key-less lines must not cross-pair
+            key_col = F.when(F.col(key) != "", F.col(key))
+            gt_lines = with_page_ids(
+                line_table(
+                    read_pagexml_full(
+                        spark, groups[0][1], level="line",
+                        on_error=args.on_error,
+                    )
+                ),
+                0,
             ).select(
-                "doc_id", "line_id", F.col(key).alias("line_key"),
+                "doc_id", "line_id", key_col.alias("line_key"),
                 F.col("text").alias("gt_text"),
             )
             pairs = None
             multi = len(groups) > 2  # more than one OCR group
-            for name, d in groups[1:]:
-                ocr_lines = line_table(
-                    read_pagexml_full(
-                        spark, d, level="line", on_error=args.on_error
-                    )
+            for i, (name, d) in enumerate(groups[1:], 1):
+                ocr_lines = with_page_ids(
+                    line_table(
+                        read_pagexml_full(
+                            spark, d, level="line", on_error=args.on_error
+                        )
+                    ),
+                    i,
                 ).select(
-                    "doc_id", F.col(key).alias("line_key"),
+                    "doc_id", key_col.alias("line_key"),
                     F.col("text").alias("ocr_text"),
                     F.lit(name).alias("ocr_grp"),
                 )
@@ -177,16 +198,19 @@ def main() -> None:
             if args.mets and args.output_file_grp:
                 import glob
 
-                from cor_asv_ann_spark.sources.mets import (
-                    add_filegrp,
-                    page_ids_of,
-                )
+                from cor_asv_ann_spark.sources.mets import add_filegrp
 
+                # doc_ids were remapped to physical page ids above, so
+                # the report files are named by page id already
                 report["mets_registered"] = add_filegrp(
                     args.mets,
                     args.output_file_grp,
                     sorted(glob.glob(f"{per_page_dir}/*.json")),
-                    page_ids=page_ids_of(args.mets, groups[0][0]),
+                    page_ids={
+                        pid: pid
+                        for pid in page_maps[0].values()
+                        if pid
+                    },
                     mimetype="application/json",
                 )
         pairs.unpersist()

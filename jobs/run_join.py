@@ -69,13 +69,15 @@ def main() -> None:
     args = ap.parse_args()
 
     register = None
+    page_maps = None
     if args.mets:
         if not (args.input_file_grp and args.output_file_grp):
             ap.error("--mets needs -I and -O")
         from cor_asv_ann_spark.sources.mets import resolve_workspace
 
-        inputs, out_dir, register = resolve_workspace(
-            args.mets, args.input_file_grp, args.output_file_grp
+        inputs, out_dir, register, page_maps = resolve_workspace(
+            args.mets, args.input_file_grp, args.output_file_grp,
+            remap_pages=True,
         )
         grp_names = args.input_file_grp.split(",")
     elif args.pagexml_in and args.pagexml_out:
@@ -100,62 +102,89 @@ def main() -> None:
         grp_names = [
             os.path.basename(os.path.normpath(d[0])) or d[0] for d in inputs
         ]
+    tables = [
+        line_table(
+            read_pagexml_full(spark, d, level="line", on_error=args.on_error)
+        )
+        for d in inputs
+    ]
+    if page_maps is not None:
+        from cor_asv_ann_spark.sources.mets import remap_doc_ids
+
+        tables = [remap_doc_ids(t, m) for t, m in zip(tables, page_maps)]
+    # the master group feeds BOTH the union leg and the output line
+    # skeleton — one cached parse, not two scans of the same fileGrp
+    tables[0] = tables[0].persist()
     # match-on=id joins by TextLine @id, match-on=coords by the
     # polygon (join.py:60-68; baseline matching needs a Baseline
-    # element the span anchor does not carry — out of scope, loudly)
+    # element the span anchor does not carry — out of scope, loudly).
+    # An EMPTY key (line without @id / without Coords) is nulled so
+    # distinct key-less lines cannot cross-merge — such master lines
+    # keep their own TextEquiv via the fallback below.
     key = "line_id" if args.match_on == "id" else "line_coords"
+    key_col = F.when(F.col(key) != "", F.col(key))
+    line_conf = F.coalesce(
+        F.aggregate("confs", F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size("confs"), F.lit(1)),
+        F.lit(1.0),
+    )
     union = None
-    for g, d in enumerate(inputs):
-        t = line_table(
-            read_pagexml_full(spark, d, level="line", on_error=args.on_error)
-        ).select(
+    for g, t in enumerate(tables):
+        leg = t.select(
             "doc_id",
-            F.col(key).alias("line_key"),
+            key_col.alias("line_key"),
             "text",
             # line-level conf = mean of the per-char channel
-            F.coalesce(
-                F.aggregate(
-                    "confs", F.lit(0.0), lambda acc, x: acc + x
-                )
-                / F.greatest(F.size("confs"), F.lit(1)),
-                F.lit(1.0),
-            ).alias("conf"),
+            line_conf.alias("conf"),
             F.lit(g).alias("grp"),
-        )
-        union = t if union is None else union.unionByName(t)
+        ).filter(F.col("line_key").isNotNull())
+        union = leg if union is None else union.unionByName(leg)
 
     alts = union.groupBy("doc_id", "line_key").agg(
         F.array_sort(
             F.collect_list(F.struct("grp", "text", "conf"))
         ).alias("alts")
     )
-    master = (
-        line_table(
-            read_pagexml_full(
-                spark, inputs[0], level="line", on_error=args.on_error
-            )
-        ).select(
-            "doc_id", "line_idx", "line_ref", F.col(key).alias("line_key")
-        )
+    master = tables[0].select(
+        "doc_id",
+        "line_idx",
+        "line_ref",
+        key_col.alias("line_key"),
+        F.col("text").alias("m_text"),
+        line_conf.alias("m_conf"),
     )
     idx_lit = F.lit(args.add_filegrp_index)
     cmt_lit = F.lit(args.add_filegrp_comments)
     grp_name_arr = F.array(*[F.lit(n) for n in grp_names])
+    # a master line no group matched (null/unique key) keeps its OWN
+    # TextEquiv (the reference writes back line0's equivs either way,
+    # join.py:103-106)
+    fallback = F.array(
+        F.struct(
+            F.col("m_text").alias("text"),
+            F.col("m_conf").cast("float").alias("conf"),
+            F.when(idx_lit, F.lit(0)).cast("int").alias("idx"),
+            F.when(cmt_lit, F.lit(grp_names[0])).alias("comments"),
+        )
+    )
     lines = master.join(alts, ["doc_id", "line_key"], "left").select(
         "doc_id",
         "line_idx",
         F.struct(
             F.col("line_ref").alias("line_ref"),
-            F.transform(
-                F.coalesce("alts", F.array()),
-                lambda a: F.struct(
-                    a["text"].alias("text"),
-                    a["conf"].cast("float").alias("conf"),
-                    F.when(idx_lit, a["grp"]).cast("int").alias("idx"),
-                    F.when(
-                        cmt_lit, F.element_at(grp_name_arr, a["grp"] + 1)
-                    ).alias("comments"),
+            F.coalesce(
+                F.transform(
+                    "alts",
+                    lambda a: F.struct(
+                        a["text"].alias("text"),
+                        a["conf"].cast("float").alias("conf"),
+                        F.when(idx_lit, a["grp"]).cast("int").alias("idx"),
+                        F.when(
+                            cmt_lit, F.element_at(grp_name_arr, a["grp"] + 1)
+                        ).alias("comments"),
+                    ),
                 ),
+                fallback,
             ).alias("equivs"),
         ).alias("line"),
     )

@@ -74,7 +74,7 @@ def main() -> None:
             ap.error("--mets needs -I and -O")
         from cor_asv_ann_spark.sources.mets import resolve_workspace
 
-        (in_paths,), out_dir, register = resolve_workspace(
+        (in_paths,), out_dir, register, _ = resolve_workspace(
             args.mets, args.input_file_grp, args.output_file_grp
         )
     elif args.pagexml_in and args.pagexml_out:
@@ -88,25 +88,26 @@ def main() -> None:
 
     from cor_asv_ann_spark.operators.correction import spans_with_line_no
     from cor_asv_ann_spark.operators.mark import (
-        compound_lexicon_from_dic,
         dehyphenate_recheck,
-        lexicon_from_wordlist,
+        lexicon_and_compound,
         mark_counters,
         mark_words,
         words_from_spans,
     )
     from cor_asv_ann_spark.session import build_session
     from cor_asv_ann_spark.sources.pagexml import (
-        read_pagexml,
+        read_pagexml_full,
+        spans_of,
         write_pagexml_corpus,
     )
 
     spark = build_session(app="mark", cpus=args.cpus)
-    spans_df = read_pagexml(
+    full = read_pagexml_full(
         spark, in_paths, level="word", on_error=args.on_error
-    )
-    lex = lexicon_from_wordlist(spark, args.dict_path, aff_path=args.aff)
-    comp = compound_lexicon_from_dic(spark, args.dict_path, aff_path=args.aff)
+    ).cache()
+    spans_df = spans_of(full)
+    # one expansion job feeds both the join lexicon and the compound DP
+    lex, comp = lexicon_and_compound(spark, args.dict_path, aff_path=args.aff)
 
     words = words_from_spans(spans_df)
     marked = mark_words(words, lex, compound=comp, charmap=charmap)
@@ -117,17 +118,34 @@ def main() -> None:
     # doc-keyed reassembly exchange (same class as the correction
     # pipeline's W2 collect_list)
     flat = spans_with_line_no(spans_df)
+    # original per-span confidences ride along so IV words keep their
+    # input @conf (the reference only touches UNKNOWN words,
+    # wrapper/mark.py:128-133)
+    orig_conf = full.select(
+        "doc_id",
+        F.explode(F.arrays_zip("spans", "span_confs")).alias("z"),
+    ).select(
+        "doc_id",
+        F.col("z.spans.offset").alias("offset"),
+        F.col("z.span_confs").alias("orig_conf"),
+    )
     oov = rechecked.select(
         "doc_id", "offset", F.col("oov").alias("is_oov")
     )
-    flat2 = flat.join(oov, ["doc_id", "offset"], "left").withColumn(
-        "is_oov", F.coalesce("is_oov", F.lit(False))
+    flat2 = (
+        flat.join(oov, ["doc_id", "offset"], "left")
+        .withColumn("is_oov", F.coalesce("is_oov", F.lit(False)))
+        .join(orig_conf, ["doc_id", "offset"], "left")
+        .withColumn("orig_conf", F.coalesce("orig_conf", F.lit(1.0)))
     )
     is_conf = args.format == "conf"
     agg = flat2.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(
-                F.struct("offset", "kind", "text", "media_ref", "is_oov")
+                F.struct(
+                    "offset", "kind", "text", "media_ref", "is_oov",
+                    "orig_conf",
+                )
             )
         ).alias("a")
     )
@@ -145,7 +163,7 @@ def main() -> None:
         F.transform(
             "a",
             lambda x: F.when(x["is_oov"] & F.lit(is_conf), F.lit(0.123))
-            .otherwise(F.lit(1.0))
+            .otherwise(x["orig_conf"])
             .cast("float"),
         ).alias("span_confs"),
         F.transform(

@@ -92,12 +92,14 @@ def test_parse_resolve_register(tmp_path):
     ]
     assert sorted(fptrs) == ["OUT_p1", "OUT_p2"]  # no dup after rerun
 
-    # resolve_workspace: comma -I, out dir created, register callback
-    (paths1, paths2), out_dir, register = resolve_workspace(
+    # resolve_workspace: comma -I, out dir created, register callback,
+    # per-group basename→page maps
+    (paths1, paths2), out_dir, register, page_maps = resolve_workspace(
         mets, "OCR1,OCR2", "OUT2"
     )
     assert len(paths1) == 2 and len(paths2) == 2
     assert out_dir.endswith("/OUT2")
+    assert page_maps[0] == {"p1": "phys_p1", "p2": "phys_p2"}
     assert register(files) == 2
     assert "OUT2" in parse_mets(mets)["file_grps"]
 
@@ -105,15 +107,24 @@ def test_parse_resolve_register(tmp_path):
 def test_mets_cli_front_door(tmp_path):
     """run_align and run_mark on a real (synthetic) OCR-D workspace:
     -I fileGrps resolved through the METS, output written under the
-    workspace and registered as a new fileGrp with page fptrs."""
-    mets = _workspace(
-        tmp_path,
-        {
-            "OCR1": {"p1": ["the quick brown fox", "jumps over lazy dogs"]},
-            "OCR2": {"p1": ["the qu1ck brown fox", "jumps ovor lazy dogs"]},
-            "OCR3": {"p1": ["tne quick brown fox", "jumps over lazy d0gs"]},
-        },
-    )
+    workspace and registered as a new fileGrp with page fptrs. The
+    groups use REALISTIC ocrd file naming — each group's files are
+    named after its own FILEIDs, so basenames NEVER match across
+    groups and pairing must go through the structMap physical page
+    (the real-workspace case file-basename matching silently breaks)."""
+    texts = {
+        "OCR1": ["the quick brown fox", "jumps over lazy dogs"],
+        "OCR2": ["the qu1ck brown fox", "jumps ovor lazy dogs"],
+        "OCR3": ["tne quick brown fox", "jumps over lazy d0gs"],
+    }
+    rels = {}
+    for use, lines in texts.items():
+        d = tmp_path / use
+        d.mkdir()
+        name = f"{use}_0001.xml"  # group-prefixed, basenames diverge
+        (d / name).write_text(_page(lines))
+        rels[use] = [(f"{use}/{name}", "phys_0001")]
+    mets = synth_mets(str(tmp_path), rels)
 
     r = subprocess.run(
         [sys.executable, "jobs/run_align.py", "--mets", mets,
@@ -124,11 +135,16 @@ def test_mets_cli_front_door(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rep = json.loads(r.stdout.strip().splitlines()[-1])
     assert rep["files"] == 1 and rep["lines"] == 2
-    voted = (tmp_path / "ALIGNED" / "p1.xml").read_text()
+    # the vote actually saw all 3 groups (basename matching would give
+    # n_inputs=1 and keep the master's errors)
+    assert rep["voted"] == 2
+    voted = (tmp_path / "ALIGNED" / "phys_0001.xml").read_text()
     assert "the quick brown fox" in voted and "qu1ck" not in voted
+    assert "jumps over lazy dogs" in voted
     meta = parse_mets(mets)
-    assert [f for f, _, _ in meta["file_grps"]["ALIGNED"]] == ["ALIGNED_p1"]
-    assert meta["page_of"]["ALIGNED_p1"] == "phys_p1"
+    assert [f for f, _, _ in meta["file_grps"]["ALIGNED"]] == [
+        "ALIGNED_phys_0001"]
+    assert meta["page_of"]["ALIGNED_phys_0001"] == "phys_0001"
 
     # run_mark needs word-grain pages (the reference marks Words):
     # register a WORDS fileGrp into the same workspace first
@@ -145,7 +161,7 @@ def test_mets_cli_front_door(tmp_path):
         f"</TextRegion></Page></PcGts>"
     )
     add_filegrp(mets, "WORDS", [str(wd / "p1.xml")],
-                page_ids={"p1": "phys_p1"})
+                page_ids={"p1": "phys_0001"})
     (tmp_path / "words.dic").write_text("4\nthe\nquick\nbrown\nfox\n")
     r = subprocess.run(
         [sys.executable, "jobs/run_mark.py", "--mets", mets,

@@ -334,14 +334,28 @@ def test_run_mark_pagexml_workspace(tmp_path):
     # hyphenated pair is unmarked by the rejoin (Dampf+fahrt compound)
     assert rep["files"] == 1
     assert rep["candidates"] == 5 and rep["nonmatches"] == 1
-    xml = (tmp_path / "marked" / "p1.xml").read_text()
-    by_word = {w: c for c, w in re.findall(
+    word_conf_re = (
         r'<ns0:Word[^>]*>(?:\s*<ns0:Coords[^>]*/>)?'
         r'\s*<ns0:TextEquiv conf="([0-9.]+)"[^>]*>'
-        r'\s*<ns0:Unicode>([^<]*)', xml)}
-    assert by_word["Qqzz"] == "0.1230"
+        r'\s*<ns0:Unicode>([^<]*)'
+    )
+    xml = (tmp_path / "marked" / "p1.xml").read_text()
+    by_word = {w: float(c) for c, w in re.findall(word_conf_re, xml)}
+    assert by_word["Qqzz"] == 0.123
+    # IV words KEEP their input confidences (the reference only stamps
+    # unknown words, wrapper/mark.py:128-133)
+    from cor_asv_ann_spark.sources.pagexml import parse_page_xml
+
+    parsed = parse_page_xml(
+        "p1", (pages / "p1.xml").read_bytes(), level="word")
+    src_conf = {
+        t: c
+        for (k, t, _, _), c in zip(parsed["spans"], parsed["span_confs"])
+        if k == "word"
+    }
     for w in ("Dampfschifffahrt", "Dampf-", "fahrt", "gut"):
-        assert by_word[w] == "1.0000", (w, by_word)
+        assert abs(by_word[w] - src_conf[w]) < 5e-4, (w, by_word, src_conf)
+        assert by_word[w] != 0.123
 
     rep2 = run("badspell", "marked2")
     assert rep2["nonmatches"] == 1
