@@ -60,8 +60,11 @@ def make_model_corrector(
     beam: bool = False,
     beam_width: int = 4,
     rejection_threshold: float = 0.3,
+    beam_width_in: int = 15,
+    beam_threshold: float = 0.2,
     use_conf: bool = False,
     use_confmat: bool = False,
+    charmap: "dict[str, str] | None" = None,
     lm=None,
 ):
     """CorrectorFn over a broadcast model: texts → (out_lines, probs,
@@ -73,7 +76,12 @@ def make_model_corrector(
     ``use_conf=True`` consumes a per-line confidence channel (prob-line
     encoding); ``use_confmat=True`` the confusion-network channel
     (encoding 3 — the reference flagship's multi-TextEquiv input,
-    wrapper/transcode.py:236-277)."""
+    wrapper/transcode.py:236-277). ``charmap`` is the processor's input
+    character translation, applied SINGLE-PASS via str.maketrans before
+    decoding (transcode.py:249-260) — incl. confmat alternatives.
+    ``beam_width_in``/``beam_threshold`` are the reference's
+    fixed_beam_width / relative_beam_width parameters."""
+    trans = str.maketrans(charmap) if charmap else None
     bc = spark.sparkContext.broadcast(model_state(model))
     bc_lm = (
         spark.sparkContext.broadcast({"table": lm.table, "order": lm.order})
@@ -103,6 +111,8 @@ def make_model_corrector(
 
     def corrector(texts: pd.Series, confs: pd.Series | None = None):
         m = _model()
+        if trans is not None:
+            texts = texts.map(lambda t: (t or "").translate(trans))
         if beam:
             # batched-encoder + hypothesis-parallel beam; alignments come
             # back so beam mode keeps the Viterbi segmentation path too.
@@ -111,6 +121,8 @@ def make_model_corrector(
                 list(texts),
                 beam_width=beam_width,
                 rejection_threshold=rejection_threshold,
+                beam_width_in=beam_width_in,
+                beam_threshold=beam_threshold,
                 lm=_lm(),
             )
             paths = [
@@ -121,8 +133,14 @@ def make_model_corrector(
         if use_confmat and confs is not None:
             # confs carries the confmat column here (chunk lists of
             # {alt, p} structs from Arrow) → (alt, p) tuples
+            def _tr(s: str) -> str:
+                return s.translate(trans) if trans is not None else s
+
             cms = [
-                [[(d["alt"], float(d["p"])) for d in chunk] for chunk in cm]
+                [
+                    [(_tr(d["alt"]), float(d["p"])) for d in chunk]
+                    for chunk in cm
+                ]
                 if cm is not None
                 else [[(ch, 1.0)] for ch in t]
                 for t, cm in zip(texts, confs)

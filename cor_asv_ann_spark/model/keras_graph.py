@@ -464,6 +464,8 @@ class RefSeq2Seq:
         beam_width: int = 4,
         beam_width_out: int = 1,
         rejection_threshold: float = 0.3,
+        beam_width_in: int = 15,
+        beam_threshold: float = 0.2,
         lm=None,
     ):
         """Beamed decode on the reference graph: batched encoder once,
@@ -546,6 +548,8 @@ class RefSeq2Seq:
             batch_cap=max(beam_width, 4),
             beam_width_out=max(beam_width_out, 1),
             rejection_threshold=rejection_threshold,
+            beam_width_in=beam_width_in,
+            beam_threshold=beam_threshold,
             lm_logprob=lm.logprob if lm is not None else None,
         )
         outs, probs, aligns = [], [], []

@@ -57,6 +57,18 @@ def main() -> None:
         ".npz (default: rule corrector)",
     )
     ap.add_argument("--beam", action="store_true", help="beam decode (slow path)")
+    ap.add_argument("--charmap", default=None,
+                    help="JSON charmap applied to input characters before "
+                         "correction (the processor's `charmap` parameter; "
+                         "single-pass str.maketrans, transcode.py:249-260)")
+    ap.add_argument("--rejection-threshold", type=float, default=0.5,
+                    help="beam: min probability of the input character "
+                         "(reference default 0.5)")
+    ap.add_argument("--relative-beam-width", type=float, default=0.2,
+                    help="beam: min fraction of the best candidate's "
+                         "probability to enter the beam")
+    ap.add_argument("--fixed-beam-width", type=int, default=15,
+                    help="beam: max candidates per hypothesis")
     ap.add_argument("--cpus", type=int, default=None, help="local-mode cores")
     ap.add_argument("--mets",
                     help="OCR-D workspace mets.xml: resolves -I to page "
@@ -128,6 +140,10 @@ def main() -> None:
             model = Seq2SeqModel.load_npz(args.model)
         corrector = make_model_corrector(
             spark, model, beam=args.beam,
+            rejection_threshold=args.rejection_threshold,
+            beam_width_in=args.fixed_beam_width,
+            beam_threshold=args.relative_beam_width,
+            charmap=json.loads(args.charmap) if args.charmap else None,
             use_confmat=use_confmat and not args.beam)
     elif use_confmat:
         from cor_asv_ann_spark.operators.correction import (

@@ -38,7 +38,18 @@ def main() -> None:
                          "the named fileGrps (first = GT)")
     ap.add_argument("-I", "--input-file-grp",
                     help="comma-separated fileGrps (with --mets)")
-    ap.add_argument("--metric", default="Levenshtein-fast")
+    ap.add_argument("--metric", default="Levenshtein-fast",
+                    choices=["Levenshtein-fast", "Levenshtein", "NFC",
+                             "NFKC", "historic_latin", "adjusted"],
+                    help="distance metric (reference evaluate `metric`: "
+                         "fast = builtin codepoint Levenshtein, others = "
+                         "adjusted alignment with that normalization)")
+    ap.add_argument("--gt-level", type=int, default=1, choices=[1, 2, 3],
+                    help="with metric=historic_latin: GT transcription "
+                         "level for the equivalence sets")
+    ap.add_argument("--confusion", type=int, default=10,
+                    help="number of most frequent confusions to report "
+                         "(reference `confusion` parameter)")
     ap.add_argument("--out")
     ap.add_argument("--match-on", default="id",
                     choices=["id", "coords", "index"],
@@ -173,8 +184,14 @@ def main() -> None:
         pairs = pairs.filter(F.col("gt_text") != "").select(
             "doc_id", "line_id", "gt_text", "ocr_text", "ocr_grp"
         ).persist()
+        norm = (
+            None if args.metric in ("Levenshtein-fast", "Levenshtein")
+            else ("historic_latin" if args.metric == "adjusted"
+                  else args.metric)
+        )
         report = evaluation_report(
-            pairs, metric=args.metric,
+            pairs, metric=args.metric, normalization=norm,
+            gt_level=args.gt_level, confusion_k=args.confusion,
             group_col="ocr_grp" if multi else None,
         )
         per_page_dir = args.per_page
@@ -192,7 +209,11 @@ def main() -> None:
             )
 
             n = write_page_reports(
-                per_page_reports(pairs, metric=args.metric), per_page_dir
+                per_page_reports(
+                    pairs, metric=args.metric, normalization=norm,
+                    gt_level=args.gt_level,
+                ),
+                per_page_dir,
             )
             report["per_page_files"] = n
             if args.mets and args.output_file_grp:
@@ -241,7 +262,14 @@ def main() -> None:
             "doc_id", F.col("line_no").cast("string").alias("line_id"), "gt_text", "ocr_text"
         )
     )
-    report = evaluation_report(pairs, metric=args.metric)
+    norm = (
+        None if args.metric in ("Levenshtein-fast", "Levenshtein")
+        else ("historic_latin" if args.metric == "adjusted" else args.metric)
+    )
+    report = evaluation_report(
+        pairs, metric=args.metric, normalization=norm,
+        gt_level=args.gt_level, confusion_k=args.confusion,
+    )
     text = report_json(report)
     if args.out:
         with open(args.out, "w") as f:

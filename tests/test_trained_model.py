@@ -101,3 +101,34 @@ def test_trained_depth2_model_corrects(eval_pairs):
     greedy, _, _ = model.decode_greedy_batch(srcs)
     cer_g = _cer(greedy, tgts)
     assert cer_g < base, f"depth-2 greedy {cer_g:.3f} !< noisy {base:.3f}"
+
+
+def test_corrector_charmap_and_beam_knobs(spark):
+    """Processor parameter parity (ocrd-tool.json process params):
+    `charmap` translates input characters single-pass BEFORE decoding
+    (transcode.py:249-260 str.maketrans — a swap map must not cascade),
+    and the beam knobs (rejection_threshold / relative_beam_width →
+    beam_threshold / fixed_beam_width → beam_width_in) reach
+    beam_search_multi."""
+    import pandas as pd
+
+    from cor_asv_ann_spark.model.corrector import make_model_corrector
+    from cor_asv_ann_spark.model.seq2seq_np import Seq2SeqModel
+
+    model = Seq2SeqModel.load_npz("tests/fixtures/trained_w64_d1.npz")
+    plain = make_model_corrector(spark, model)
+    # swap charmap: x↔y single-pass (sequential replace would collapse
+    # both to one char)
+    swapped = make_model_corrector(spark, model, charmap={"x": "y", "y": "x"})
+    texts = pd.Series(["xy xy"])
+    out_plain, _, _ = plain(pd.Series(["yx yx"]))
+    out_swapped, _, _ = swapped(texts)
+    assert list(out_swapped) == list(out_plain)  # "xy"→"yx" pre-decode
+
+    # beam knobs change the search (tight beam ≠ default beam on a
+    # deliberately ambiguous input) and flow without error
+    beam_tight = make_model_corrector(
+        spark, model, beam=True, rejection_threshold=0.9,
+        beam_width_in=1, beam_threshold=0.99)
+    out_t, _, _ = beam_tight(pd.Series(["hcllo wcrld"]))
+    assert isinstance(out_t[0], str)
