@@ -570,6 +570,36 @@ def q_mark_oov_affix(spark, sf_dir):
     )
 
 
+def q_mark_oov_charmap(spark, sf_dir):
+    """P8 with the mark processor's `normalization` charmap
+    (wrapper/mark.py:59-62: SEQUENTIAL str.replace before the
+    Letter/Mark strip). The map {"a":"b","b":"a"} deliberately
+    CASCADES — sequential semantics turn every 'a' AND 'b' into 'a'
+    ('ab'→'bb'→'aa'), where a single-pass maketrans would swap them —
+    so the value-hash only matches if the operator applies the
+    reference's exact iteration order, which the DuckDB oracle replays
+    as the same nested replace() chain."""
+    from cor_asv_ann_spark.operators.mark import mark_words
+
+    lex = _mat_affix_lexicon(spark)
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        F.col("doc_id"),
+        "lang",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("word_idx", "word"),
+    ).filter(F.col("word") != "").withColumn("line_no", F.lit(0))
+    marked = mark_words(words, lex, charmap={"a": "b", "b": "a"})
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum((~F.col("oov")).cast("long")).alias("n_iv"),
+            F.round(F.avg(F.col("oov").cast("double")), 6).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _mat_compound_parts(spark, sf_dir):
     """Corpus-derived compound-part lexicon (top-50 tokens, ≥3 chars),
     materialized once per sf so the DuckDB oracle can replay compound
@@ -1239,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_oov": q_mark_oov,
         "mark_oov_affix": q_mark_oov_affix,
         "mark_oov_compound": q_mark_oov_compound,
+        "mark_oov_charmap": q_mark_oov_charmap,
         "bpe_token_count": q_bpe_token_count,
         "char_lm_counts": q_char_lm_counts,
         "strip_boilerplate": q_strip_boilerplate,
@@ -1684,6 +1715,26 @@ def oracle_sql() -> dict[str, str]:
             WITH words AS (
               SELECT lang,
                      lower(regexp_replace(w, '[^\\p{{L}}\\p{{M}}]', '', 'g')) AS normed
+              FROM (
+                SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
+                FROM documents)
+              WHERE w <> ''),
+            lex AS (
+              SELECT DISTINCT lower(entry) AS normed
+              FROM read_parquet('{_ORACLE_DIR}/lexicon_affix/*.parquet'))
+            SELECT lang, count(*) AS n_words,
+                   CAST(sum(CASE WHEN normed IN (SELECT normed FROM lex)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_iv,
+                   round(avg(CASE WHEN normed IN (SELECT normed FROM lex)
+                             THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
+            FROM words GROUP BY lang ORDER BY lang
+        """,
+        "mark_oov_charmap": f"""
+            WITH words AS (
+              SELECT lang,
+                     lower(regexp_replace(
+                       replace(replace(w, 'a', 'b'), 'b', 'a'),
+                       '[^\\p{{L}}\\p{{M}}]', '', 'g')) AS normed
               FROM (
                 SELECT lang, unnest(string_split_regex(text, '\\s+')) AS w
                 FROM documents)
