@@ -715,3 +715,82 @@ def test_mark_with_compound_rules(spark, tmp_path):
     assert flags["word"] is False          # plain join
     assert flags["foomid"] is True         # no C
     assert flags["barfoo"] is True         # wrong order
+
+
+def test_compound_rule_nfa_vs_bruteforce_oracle():
+    """Property pin for the COMPOUNDRULE NFA: against a brute-force
+    oracle that enumerates EVERY split of the word into dictionary
+    parts and every flag choice per part, then regex-matches the flag
+    string against the pattern (opposite decision procedure — regex
+    over an enumerated alphabet vs NFA over split points)."""
+    import itertools
+    import random
+    import re
+
+    from cor_asv_ann_spark.corelib.affix import (
+        CompoundLexicon,
+        parse_compound_rules,
+    )
+
+    rnd = random.Random(42)
+    flags = "ABCD"
+    for trial in range(200):
+        # random dictionary: 3-6 words over a tiny alphabet (collisions
+        # and prefix-overlap likely), each with 1-2 flags
+        words = {}
+        for _ in range(rnd.randint(3, 6)):
+            w = "".join(rnd.choice("xy") for _ in range(rnd.randint(1, 3)))
+            fl = frozenset(rnd.sample(flags, rnd.randint(1, 2)))
+            words[w] = words.get(w, frozenset()) | fl
+        # random pattern of 2-4 tokens with random modifiers
+        toks = [
+            (rnd.choice(flags), rnd.choice(["", "*", "?"]))
+            for _ in range(rnd.randint(2, 4))
+        ]
+        pat = "".join(f + m for f, m in toks)
+        lex = CompoundLexicon(
+            standalone=frozenset(), begin=frozenset(), middle=frozenset(),
+            end=frozenset(), cmin=1,
+            rule_tokens=parse_compound_rules([pat]),
+            rule_words=tuple(
+                sorted((w, tuple(sorted(fl))) for w, fl in words.items())
+            ),
+        )
+        rx = re.compile("".join(
+            (f"{f}{m}" if m else f) for f, m in toks) + "$")
+
+        def oracle(word: str) -> bool:
+            n = len(word)
+
+            def splits(pos):
+                if pos == n:
+                    yield []
+                    return
+                for j in range(pos + 1, n + 1):
+                    part = word[pos:j]
+                    if part in words:
+                        for rest in splits(j):
+                            yield [part] + rest
+
+            for parts in splits(0):
+                if len(parts) < 2:
+                    continue
+                for choice in itertools.product(
+                    *[sorted(words[p]) for p in parts]
+                ):
+                    if rx.match("".join(choice)):
+                        return True
+            return False
+
+        # probe words: concatenations of dict words + random junk
+        probes = set()
+        ws = list(words)
+        for _ in range(12):
+            probes.add("".join(
+                rnd.choice(ws) for _ in range(rnd.randint(1, 3))))
+            probes.add("".join(
+                rnd.choice("xy") for _ in range(rnd.randint(1, 6))))
+        for w in probes:
+            got = lex._accepts_rule_compound(w)
+            want = oracle(w)
+            assert got == want, (trial, pat, dict(words), w, got, want)
