@@ -184,3 +184,55 @@ def test_resize_and_frame_sample_plumbing(spark, sf_small):
     )
     rows = sample_frames(null_dur, every_ms=5000, max_frames=4).collect()
     assert len(rows) == 1 and rows[0].frame_idx == 0 and rows[0].t_ms == 0
+
+
+def test_streaming_pagexml_incremental(spark, tmp_path):
+    """Streaming PAGE-XML ingest: drain wave 1 with availableNow,
+    then ONLY the pages added afterwards are processed by a rerun on
+    the same checkpoint (file-source seen-files tracking) — and the
+    corrected output equals the batch pipeline's on the same pages."""
+    from cor_asv_ann_spark.operators.correction import correct_pipeline
+    from cor_asv_ann_spark.sources.pagexml import (
+        read_pagexml,
+        synth_page_xml,
+    )
+    from cor_asv_ann_spark.streaming.pages import (
+        streaming_pagexml_correction,
+    )
+
+    pages = tmp_path / "pages"
+    pages.mkdir()
+    (pages / "p1.xml").write_bytes(
+        synth_page_xml("p1", "first page words here\n", words_per_line=4))
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = streaming_pagexml_correction(spark, str(pages), out, ckpt)
+    q.awaitTermination(120)
+    wave1 = spark.read.parquet(out)
+    assert {r.doc_id for r in wave1.select("doc_id").collect()} == {"p1"}
+
+    # wave 2: a new page arrives; same checkpoint → only p2 processed
+    (pages / "p2.xml").write_bytes(
+        synth_page_xml("p2", "second page arrives later\n", words_per_line=4))
+    q2 = streaming_pagexml_correction(spark, str(pages), out, ckpt)
+    q2.awaitTermination(120)
+    all_out = spark.read.parquet(out)
+    docs = {r.doc_id for r in all_out.select("doc_id").collect()}
+    assert docs == {"p1", "p2"}
+    # epoch partitioning: p1 only in the first epoch's directory (the
+    # second run did NOT reprocess it)
+    import glob
+
+    epochs = sorted(glob.glob(f"{out}/epoch=*"))
+    assert len(epochs) >= 2
+    first = spark.read.parquet(epochs[0]).select("doc_id").distinct()
+    assert [r.doc_id for r in first.collect()] == ["p1"]
+
+    # parity with the batch pipeline on the same pages
+    batch = correct_pipeline(read_pagexml(spark, str(pages)))
+    b = {(r.doc_id,): r for r in batch.collect()}
+    s = {(r.doc_id,): r for r in all_out.collect()}
+    assert set(b) == set(s)
+    for k in b:
+        assert [tuple(x) for x in b[k].spans] == [tuple(x) for x in s[k].spans]
