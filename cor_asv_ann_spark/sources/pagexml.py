@@ -188,6 +188,9 @@ def parse_page_xml(
 
     # per line: list of (kind, text, media_ref, alternatives)
     lines: list[list[tuple[str, str, str | None, list[tuple[str, float]]]]] = []
+    # Baseline/@points per KEPT line — the evaluate/join processors'
+    # `match-on=baseline` key (join.py:63-66; falls back to Coords)
+    baselines: list[str] = []
 
     def element_entry(kind: str, el) -> tuple | None:
         tes = _textequivs(el)
@@ -242,6 +245,10 @@ def parse_page_xml(
             seq.append(("newline", "\n", None, [("\n", 1.0)]))
             if len(seq) > 1:  # drop empty lines (transcode.py:234)
                 lines.append(seq)
+                bl = _first(tline, "Baseline")
+                baselines.append(
+                    (bl.get("points") or "") if bl is not None else ""
+                )
 
     spans: list[tuple[str, str, str | None, int]] = []
     span_confs: list[float] = []
@@ -264,6 +271,7 @@ def parse_page_xml(
         "span_confs": span_confs,
         "line_confs": line_confs,
         "line_confmats": line_confmats,
+        "line_baselines": baselines,
     }
 
 
@@ -271,7 +279,8 @@ _FULL_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "span_confs array<float>, "
-    "line_confs array<array<float>>, line_confmats string"
+    "line_confs array<array<float>>, line_confmats string, "
+    "line_baselines array<string>"
 )
 
 
@@ -303,7 +312,8 @@ def _parse_files(level: str, on_error: str = "fail"):
                     # instead of silently vanishing from the corpus
                     rows.append({"doc_id": doc_id, "spans": [],
                                  "span_confs": [], "line_confs": [],
-                                 "line_confmats": "[]"})
+                                 "line_confmats": "[]",
+                                 "line_baselines": []})
                     continue
                 rows.append(
                     {
@@ -314,6 +324,7 @@ def _parse_files(level: str, on_error: str = "fail"):
                         ],
                         "span_confs": parsed["span_confs"],
                         "line_confs": parsed["line_confs"],
+                        "line_baselines": parsed["line_baselines"],
                         # doubly-nested struct arrays trip Arrow's pandas
                         # path (see correct_pipeline's confmat JSON note)
                         "line_confmats": json.dumps(
@@ -330,7 +341,7 @@ def _parse_files(level: str, on_error: str = "fail"):
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "spans", "span_confs", "line_confs",
-                         "line_confmats"],
+                         "line_confmats", "line_baselines"],
             )
 
     return parse
@@ -468,8 +479,12 @@ def line_table(full: DataFrame) -> DataFrame:
                     "ls"
                 ),
                 F.col("line_confs").alias("cf"),
+                F.col("line_baselines").alias("bl"),
             )
         ).alias("line_idx", "z"),
+    )
+    coords_col = F.regexp_extract(
+        "z.ls.media_ref", r"^coords://[^/]*/(.*)$", 1
     )
     return z.select(
         "doc_id",
@@ -480,9 +495,12 @@ def line_table(full: DataFrame) -> DataFrame:
         ).alias("line_id"),
         # Coords/@points — the `match-on=coords` join key
         # (join.py:60-68, evaluate.py match_on)
-        F.regexp_extract(
-            "z.ls.media_ref", r"^coords://[^/]*/(.*)$", 1
-        ).alias("line_coords"),
+        coords_col.alias("line_coords"),
+        # Baseline/@points, falling back to Coords exactly like the
+        # reference when a line has no Baseline (join.py:63-66)
+        F.when(F.col("z.bl") != "", F.col("z.bl"))
+        .otherwise(coords_col)
+        .alias("line_baseline"),
         F.col("z.ls.text").alias("text"),
         F.slice(
             "z.cf", 1, F.greatest(F.size("z.cf") - 1, F.lit(0))

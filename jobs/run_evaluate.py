@@ -52,12 +52,13 @@ def main() -> None:
                          "(reference `confusion` parameter)")
     ap.add_argument("--out")
     ap.add_argument("--match-on", default="id",
-                    choices=["id", "coords", "index"],
-                    help="'id'/'coords': lines matched by TextLine @id "
-                         "or Coords/@points across groups (first = GT); "
-                         "'index': TextEquiv alternatives WITHIN one "
-                         "group, @index 0 = GT (evaluate.py:53-60, "
-                         "exactly one input then)")
+                    choices=["id", "coords", "baseline", "index"],
+                    help="'id'/'coords'/'baseline': lines matched by "
+                         "TextLine @id, Coords/@points, or "
+                         "Baseline/@points (Coords fallback) across "
+                         "groups (first = GT); 'index': TextEquiv "
+                         "alternatives WITHIN one group, @index 0 = GT "
+                         "(evaluate.py:53-60, exactly one input then)")
     ap.add_argument("--per-page",
                     help="also write one per-page JSON report per doc "
                          "into this directory (with --mets use -O: the "
@@ -149,7 +150,8 @@ def main() -> None:
             pairs = gt.join(ocr, ["doc_id", "line_idx"])
             multi = True
         else:
-            key = "line_id" if args.match_on == "id" else "line_coords"
+            key = {"id": "line_id", "coords": "line_coords",
+                   "baseline": "line_baseline"}[args.match_on]
             # empty keys → null: two key-less lines must not cross-pair
             key_col = F.when(F.col(key) != "", F.col(key))
             gt_lines = with_page_ids(

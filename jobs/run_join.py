@@ -60,10 +60,11 @@ def main() -> None:
                     help="output fileGrp (with --mets)")
     ap.add_argument("--add-filegrp-comments", action="store_true")
     ap.add_argument("--add-filegrp-index", action="store_true")
-    ap.add_argument("--match-on", default="id", choices=["id", "coords"],
-                    help="line match key across groups: TextLine @id or "
-                         "Coords/@points (join.py:60-68; baseline is "
-                         "not captured by the span anchor)")
+    ap.add_argument("--match-on", default="id",
+                    choices=["id", "coords", "baseline"],
+                    help="line match key across groups: TextLine @id, "
+                         "Coords/@points, or Baseline/@points with "
+                         "Coords fallback (join.py:60-68)")
     ap.add_argument("--on-error", default="fail", choices=["fail", "skip"])
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -115,13 +116,13 @@ def main() -> None:
     # the master group feeds BOTH the union leg and the output line
     # skeleton — one cached parse, not two scans of the same fileGrp
     tables[0] = tables[0].persist()
-    # match-on=id joins by TextLine @id, match-on=coords by the
-    # polygon (join.py:60-68; baseline matching needs a Baseline
-    # element the span anchor does not carry — out of scope, loudly).
+    # match-on=id joins by TextLine @id, coords by the polygon,
+    # baseline by Baseline/@points (Coords fallback — join.py:60-68).
     # An EMPTY key (line without @id / without Coords) is nulled so
     # distinct key-less lines cannot cross-merge — such master lines
     # keep their own TextEquiv via the fallback below.
-    key = "line_id" if args.match_on == "id" else "line_coords"
+    key = {"id": "line_id", "coords": "line_coords",
+           "baseline": "line_baseline"}[args.match_on]
     key_col = F.when(F.col(key) != "", F.col(key))
     line_conf = F.coalesce(
         F.aggregate("confs", F.lit(0.0), lambda acc, x: acc + x)

@@ -723,3 +723,58 @@ def test_alt_table_and_per_page_reports(spark, tmp_path):
     assert rep["index 1"]["num-lines"] == 2.0
     assert abs(rep["index 1"]["char-error-rate-mean"] - 2 / 18) < 1e-9
     assert rep["index 1"]["num-words"] == 4.0
+
+
+def test_match_on_baseline(spark, tmp_path):
+    """Baseline/@points as the line match key (join.py:63-66): groups
+    whose ids AND Coords diverge still pair by Baseline; a line
+    without a Baseline falls back to its Coords — exactly the
+    reference's extract() fallback."""
+    from pyspark.sql import functions as F
+
+    from cor_asv_ann_spark.sources.pagexml import (
+        line_table,
+        read_pagexml_full,
+    )
+
+    ns = "http://schema.primaresearch.org/PAGE/gts/pagecontent/2019-07-15"
+
+    def page(prefix, coords_y):
+        # line0 has a Baseline (same across groups); line1 has NONE —
+        # its key must fall back to Coords (which we make equal too)
+        return (
+            f'<?xml version="1.0"?><PcGts xmlns="{ns}"><Page>'
+            f'<TextRegion id="r0">'
+            f'<TextLine id="{prefix}0">'
+            f'<Coords points="0,{coords_y} 90,{coords_y + 8}"/>'
+            f'<Baseline points="0,7 90,7"/>'
+            f'<TextEquiv conf="0.8"><Unicode>line zero</Unicode></TextEquiv>'
+            f"</TextLine>"
+            f'<TextLine id="{prefix}1">'
+            f'<Coords points="0,100 90,108"/>'
+            f'<TextEquiv conf="0.8"><Unicode>line one</Unicode></TextEquiv>'
+            f"</TextLine>"
+            f"</TextRegion></Page></PcGts>"
+        )
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    # DIFFERENT ids and DIFFERENT line-0 Coords across groups: only the
+    # baseline (line 0) / coords-fallback (line 1) can pair them
+    (tmp_path / "a" / "p1.xml").write_text(page("l", 0))
+    (tmp_path / "b" / "p1.xml").write_text(page("x", 50))
+
+    ta = line_table(read_pagexml_full(spark, str(tmp_path / "a"), level="line"))
+    tb = line_table(read_pagexml_full(spark, str(tmp_path / "b"), level="line"))
+    a = {r.line_idx: r for r in ta.collect()}
+    assert a[0].line_baseline == "0,7 90,7"         # real baseline
+    assert a[1].line_baseline == a[1].line_coords   # fallback
+    paired = ta.select("doc_id", "line_baseline",
+                       F.col("text").alias("ta")).join(
+        tb.select("doc_id", "line_baseline", F.col("text").alias("tb")),
+        ["doc_id", "line_baseline"],
+    ).collect()
+    texts = {(r.ta, r.tb) for r in paired}
+    assert ("line zero", "line zero") in texts      # baseline-paired
+    assert ("line one", "line one") in texts        # coords-fallback
+    assert len(paired) == 2                         # no cross-pairs
