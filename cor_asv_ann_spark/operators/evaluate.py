@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -146,14 +146,32 @@ def cer_rollup(scored: DataFrame, pair_col: str, page_col: str) -> DataFrame:
     )
 
 
-def confusion_topk(pairs: DataFrame, k: int = 10, src: str = "ocr_text", tgt: str = "gt_text") -> DataFrame:
-    """Top-k (source, target) edit confusions across the corpus (A2/T1)."""
-    exploded = pairs.select(F.explode(edit_pairs_udf(F.col(src), F.col(tgt))).alias("p"))
+def confusion_topk(
+    pairs: DataFrame,
+    k: int = 10,
+    src: str = "ocr_text",
+    tgt: str = "gt_text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Top-k (source, target) edit confusions across the corpus (A2/T1).
+    With ``group_col`` (e.g. the evaluate processor's per-fileGrp
+    reports), top-k PER group via a partitioned rank instead of one
+    global limit."""
+    groups = [group_col] if group_col else []
+    exploded = pairs.select(
+        *groups, F.explode(edit_pairs_udf(F.col(src), F.col(tgt))).alias("p")
+    )
+    agg = exploded.groupBy(
+        *groups, F.col("p.src").alias("src"), F.col("p.tgt").alias("tgt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    if not groups:
+        return agg.orderBy(F.desc("n"), "src", "tgt").limit(k)
+    w = Window.partitionBy(group_col).orderBy(F.desc("n"), "src", "tgt")
     return (
-        exploded.groupBy(F.col("p.src").alias("src"), F.col("p.tgt").alias("tgt"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "src", "tgt")
-        .limit(k)
+        agg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .orderBy(group_col, F.desc("n"), "src", "tgt")
     )
 
 
@@ -181,14 +199,29 @@ def histogram_compare(left: DataFrame, right: DataFrame, key: str = "ch") -> Dat
     )
 
 
-def worst_examples(scored: DataFrame, id_cols: list[str], k: int = 10) -> DataFrame:
-    """Worst lines by mean*length cost (A4/T2): TakeOrderedAndProject."""
+def worst_examples(
+    scored: DataFrame,
+    id_cols: list[str],
+    k: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Worst lines by mean*length cost (A4/T2): TakeOrderedAndProject,
+    or a partitioned rank per ``group_col``."""
+    base = scored.filter(F.col("length") > 0).withColumn(
+        "cost", F.col("dist")
+    )
+    if group_col is None:
+        return (
+            base.orderBy(F.desc("cost"), *id_cols)
+            .select(*id_cols, "dist", "length", "cost")
+            .limit(k)
+        )
+    w = Window.partitionBy(group_col).orderBy(F.desc("cost"), *id_cols)
     return (
-        scored.filter(F.col("length") > 0)
-        .withColumn("cost", F.col("dist"))
-        .orderBy(F.desc("cost"), *id_cols)
-        .select(*id_cols, "dist", "length", "cost")
-        .limit(k)
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(group_col, *id_cols, "dist", "length", "cost")
+        .orderBy(group_col, F.desc("cost"), *id_cols)
     )
 
 

@@ -51,8 +51,14 @@ def evaluation_report(
 
     cer = cer_aggregate(scored, *groups).collect()
     wer = cer_aggregate(wer_pairs(pairs), *groups).collect()
-    conf = confusion_topk(pairs, k=confusion_k).collect()
-    worst = worst_examples(scored, ["doc_id", "line_id"], k=worst_k).collect()
+    # per-pair confusion/worst when grouped — the reference's
+    # report[pair]['confusion'] / worst-lines sections per fileGrp
+    conf = confusion_topk(
+        pairs, k=confusion_k, group_col=group_col
+    ).collect()
+    worst = worst_examples(
+        scored, ["doc_id", "line_id"], k=worst_k, group_col=group_col
+    ).collect()
     hist = histogram_compare(
         char_histogram(pairs.select(F.col("ocr_text").alias("text"))),
         char_histogram(pairs.select(F.col("gt_text").alias("text"))),
@@ -71,7 +77,13 @@ def evaluation_report(
             {**r.asDict(), "wer": r.cer} for r in wer
         ],  # same aggregation, word grain
         "confusion": [
-            {"source": r.src, "target": r.tgt, "count": r.n} for r in conf
+            {
+                **({group_col: r[group_col]} if group_col else {}),
+                "source": r.src,
+                "target": r.tgt,
+                "count": r.n,
+            }
+            for r in conf
         ],
         "worst": row_dicts(worst),
         "histogram": [
