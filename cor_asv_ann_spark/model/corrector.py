@@ -163,7 +163,7 @@ def make_model_corrector(
     return corrector
 
 
-def make_stateful_doc_corrector(spark, model):
+def make_stateful_doc_corrector(spark, model, charmap=None):
     """Document-sequential corrector for STATEFUL models (h5 config
     stateful=True, seq2seq.py:1134/1152): decoder LSTM state carries
     across a document's lines, reset at document boundaries. Takes
@@ -189,8 +189,19 @@ def make_stateful_doc_corrector(spark, model):
             _MODEL_CACHE[key] = m
         return m
 
+    trans = str.maketrans(charmap) if charmap else None
+
     def correct_docs(doc_lines: list[list[str]]):
         m = _model()
+        if trans is not None:
+            # same single-pass translation as the greedy/beam corrector
+            # (transcode.py:249-260); like the reference — which mutates
+            # the input annotation in place — alignment paths are
+            # relative to the TRANSLATED text
+            doc_lines = [
+                [(t or "").translate(trans) for t in lines_]
+                for lines_ in doc_lines
+            ]
         outs, probs, aligns = m.decode_greedy_docs(doc_lines)
         paths = [
             [

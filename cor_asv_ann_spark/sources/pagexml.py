@@ -181,7 +181,12 @@ def parse_page_xml(
     root = ET.fromstring(data)
     page = root if _local(root.tag) == "Page" else _first(root, "Page")
     if page is None:
-        return {"spans": [], "line_confs": [], "line_confmats": []}
+        # a well-formed non-PAGE .xml (e.g. a mets.xml sidecar swept up
+        # by the *.xml filter): a spanless doc with EVERY channel key —
+        # a missing key here crashes _parse_files outside its
+        # try/except, even under on_error=skip
+        return {"spans": [], "span_confs": [], "line_confs": [],
+                "line_confmats": [], "line_baselines": []}
     ro_pos = _reading_order_positions(page)
     page_tlo = page.get("textLineOrder")
     page_rd = page.get("readingDirection")

@@ -125,6 +125,10 @@ def main() -> None:
         print("warning: --confmat is ignored with --beam (the beam path "
               "decodes the nominal text only); dropping the confmat "
               "channel", file=sys.stderr)
+    if args.charmap and not args.model:
+        print("warning: --charmap applies inside the MODEL corrector "
+              "(transcode.py charmap parameter); the rule/confmat-argmax "
+              "paths ignore it", file=sys.stderr)
     use_confmat = bool(args.confmat and args.pagexml_in and not args.beam)
     corrector = None
     if args.model:
@@ -158,7 +162,9 @@ def main() -> None:
         # (decoder state carried across a document's lines)
         from cor_asv_ann_spark.model.corrector import make_stateful_doc_corrector
 
-        stateful_docs = make_stateful_doc_corrector(spark, model)
+        stateful_docs = make_stateful_doc_corrector(
+            spark, model,
+            charmap=json.loads(args.charmap) if args.charmap else None)
         corrector = None
 
     summary = run_resumable(

@@ -75,6 +75,15 @@ def main() -> None:
     if args.match_on == "index" and args.pagexml_in and len(args.pagexml_in) > 1:
         ap.error("--match-on index takes exactly one input group "
                  "(evaluate.py:55-57)")
+    if args.match_on != "id" and not (args.pagexml_in or args.mets):
+        ap.error("--match-on needs PAGE-XML input (--pagexml-in/--mets); "
+                 "spans tables pair positionally by line_no")
+    # metric → adjusted-alignment normalization (one mapping for every
+    # input path; 'fast' metrics use the builtin Levenshtein instead)
+    norm = (
+        None if args.metric in ("Levenshtein-fast", "Levenshtein")
+        else ("historic_latin" if args.metric == "adjusted" else args.metric)
+    )
 
     from pyspark.sql import functions as F
 
@@ -186,11 +195,6 @@ def main() -> None:
         pairs = pairs.filter(F.col("gt_text") != "").select(
             "doc_id", "line_id", "gt_text", "ocr_text", "ocr_grp"
         ).persist()
-        norm = (
-            None if args.metric in ("Levenshtein-fast", "Levenshtein")
-            else ("historic_latin" if args.metric == "adjusted"
-                  else args.metric)
-        )
         report = evaluation_report(
             pairs, metric=args.metric, normalization=norm,
             gt_level=args.gt_level, confusion_k=args.confusion,
@@ -263,10 +267,6 @@ def main() -> None:
         .select(
             "doc_id", F.col("line_no").cast("string").alias("line_id"), "gt_text", "ocr_text"
         )
-    )
-    norm = (
-        None if args.metric in ("Levenshtein-fast", "Levenshtein")
-        else ("historic_latin" if args.metric == "adjusted" else args.metric)
     )
     report = evaluation_report(
         pairs, metric=args.metric, normalization=norm,

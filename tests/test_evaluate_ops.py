@@ -121,3 +121,47 @@ def test_wer(spark):
     by = {r.gt_text: (r.dist, r.length) for r in rows}
     assert by["the quick fox"] == (1.0, 3)
     assert by["a b"] == (0.0, 2)
+
+
+def test_confusion_and_worst_per_group(spark):
+    """Grouped confusion_topk / worst_examples (the evaluate
+    processor's per-fileGrp report sections): top-k is ranked WITHIN
+    each group, worst-k likewise, and the group key survives into
+    evaluation_report's confusion dicts."""
+    from cor_asv_ann_spark.operators.evaluate import (
+        confusion_topk,
+        with_fast_distance,
+        worst_examples,
+    )
+    from cor_asv_ann_spark.operators.report import evaluation_report
+
+    rows = []
+    # group A: many e→a confusions; group B: many o→0 confusions,
+    # plus one much-worse line per group
+    for i in range(4):
+        rows.append(("d", f"a{i}", "beet", "baat", "A"))
+        rows.append(("d", f"b{i}", "moon", "m00n", "B"))
+    rows.append(("d", "aw", "worstlineaaaa", "zzzzzzzzzzzzz", "A"))
+    rows.append(("d", "bw", "worstlinebbbb", "qqqqqqqqqqqqq", "B"))
+    pairs = spark.createDataFrame(
+        rows, "doc_id string, line_id string, gt_text string, "
+              "ocr_text string, ocr_grp string")
+
+    conf = confusion_topk(pairs, k=1, group_col="ocr_grp").collect()
+    top = {r.ocr_grp: (r.src, r.tgt) for r in conf}
+    assert top["A"] == ("a", "e")
+    assert top["B"] == ("0", "o")
+    assert len(conf) == 2  # exactly k per group
+
+    worst = worst_examples(
+        with_fast_distance(pairs), ["doc_id", "line_id"], k=1,
+        group_col="ocr_grp",
+    ).collect()
+    assert {(r.ocr_grp, r.line_id) for r in worst} == {("A", "aw"),
+                                                       ("B", "bw")}
+
+    rep = evaluation_report(pairs, confusion_k=1, worst_k=1,
+                            group_col="ocr_grp")
+    assert {c["ocr_grp"] for c in rep["confusion"]} == {"A", "B"}
+    assert {w["ocr_grp"] for w in rep["worst"]} == {"A", "B"}
+    assert {c["ocr_grp"] for c in rep["cer"]} == {"A", "B"}
