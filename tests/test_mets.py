@@ -176,3 +176,62 @@ def test_mets_cli_front_door(tmp_path):
     marked = (tmp_path / "MARKED" / "p1.xml").read_text()
     assert marked.count('conf="0.1230"') == 1
     assert "MARKED" in parse_mets(mets)["file_grps"]
+
+
+def test_parse_mets_edge_cases(tmp_path):
+    """METS robustness: files without FLocat are skipped, absolute and
+    un-prefixed hrefs resolve, non-PAGE mimetypes are filtered, a
+    missing physical structMap keeps fileSec order, and structMap-less
+    files sort last."""
+    mets_ns = "http://www.loc.gov/METS/"
+    abs_page = tmp_path / "elsewhere.xml"
+    abs_page.write_text("x")
+    xml = f"""<?xml version="1.0"?>
+<mets xmlns="{mets_ns}">
+  <fileSec>
+    <fileGrp USE="OCR">
+      <file ID="f_noloc" MIMETYPE="application/vnd.prima.page+xml"/>
+      <file ID="f_abs" MIMETYPE="application/vnd.prima.page+xml">
+        <FLocat href="{abs_page}"/>
+      </file>
+      <file ID="f_img" MIMETYPE="image/png">
+        <FLocat href="OCR/img.png"/>
+      </file>
+      <file ID="f_rel2" MIMETYPE="application/vnd.prima.page+xml">
+        <FLocat href="OCR/p2.xml"/>
+      </file>
+      <file ID="f_rel1" MIMETYPE="application/vnd.prima.page+xml">
+        <FLocat href="OCR/p1.xml"/>
+      </file>
+    </fileGrp>
+  </fileSec>
+  <structMap TYPE="physical">
+    <div TYPE="physSequence">
+      <div TYPE="page" ID="phys1" ORDER="1"><fptr FILEID="f_rel1"/></div>
+      <div TYPE="page" ID="phys2" ORDER="2"><fptr FILEID="f_rel2"/></div>
+    </div>
+  </structMap>
+</mets>"""
+    mets = tmp_path / "mets.xml"
+    mets.write_text(xml)
+
+    meta = parse_mets(str(mets))
+    ids = [f for f, _, _ in meta["file_grps"]["OCR"]]
+    assert "f_noloc" not in ids        # no FLocat → skipped
+    assert "f_abs" in ids and "f_img" in ids
+    assert meta["page_order"] == ["phys1", "phys2"]
+
+    # PAGE mimetype filter + physical page order; the structMap-less
+    # absolute file sorts last
+    paths = filegrp_paths(str(mets), "OCR")
+    names = [p.rsplit("/", 1)[-1] for p in paths]
+    assert names == ["p1.xml", "p2.xml", "elsewhere.xml"]
+    assert paths[2] == str(abs_page)   # absolute href untouched
+    assert not any(n.endswith(".png") for n in names)
+
+    # no physical structMap at all: fileSec order preserved
+    mets2 = tmp_path / "mets2.xml"
+    mets2.write_text(xml.replace('TYPE="physical"', 'TYPE="logical"'))
+    names2 = [p.rsplit("/", 1)[-1]
+              for p in filegrp_paths(str(mets2), "OCR")]
+    assert names2 == ["elsewhere.xml", "p2.xml", "p1.xml"]  # fileSec order
