@@ -570,6 +570,17 @@ def q_mark_oov_affix(spark, sf_dir):
     )
 
 
+def q_dedup_chunks(spark, sf_dir):
+    """Passage-grain exact dedup (chunk_exact_dups): 3-word chunks over
+    the normalized word stream, chunks present in ≥2 distinct docs —
+    the web-scale approximation of exact-substring dedup. DuckDB
+    replays the identical chunking via list slices + string_agg."""
+    from cor_asv_ann_spark.operators.dedup import chunk_exact_dups
+
+    d = _docs(spark, sf_dir)
+    return chunk_exact_dups(d, width=3).orderBy("chunk")
+
+
 def q_mark_oov_charmap(spark, sf_dir):
     """P8 with the mark processor's `normalization` charmap
     (wrapper/mark.py:59-62: SEQUENTIAL str.replace before the
@@ -1270,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mark_oov_affix": q_mark_oov_affix,
         "mark_oov_compound": q_mark_oov_compound,
         "mark_oov_charmap": q_mark_oov_charmap,
+        "dedup_chunks": q_dedup_chunks,
         "bpe_token_count": q_bpe_token_count,
         "char_lm_counts": q_char_lm_counts,
         "strip_boilerplate": q_strip_boilerplate,
@@ -1728,6 +1740,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN normed IN (SELECT normed FROM lex)
                              THEN 0.0 ELSE 1.0 END), 6) AS oov_rate
             FROM words GROUP BY lang ORDER BY lang
+        """,
+        "dedup_chunks": """
+            WITH words AS (
+              SELECT doc_id,
+                     string_split(
+                       lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '
+                     ) AS ws
+              FROM documents),
+            chunks AS (
+              SELECT doc_id,
+                     list_aggregate(ws[(i - 1) * 3 + 1 : i * 3],
+                                    'string_agg', ' ') AS chunk
+              FROM words,
+                   unnest(range(1,
+                     CAST(ceil(len(ws) / 3.0) AS BIGINT) + 1)) AS t(i))
+            SELECT chunk,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM chunks GROUP BY chunk
+            HAVING count(DISTINCT doc_id) > 1
+            ORDER BY chunk
         """,
         "mark_oov_charmap": f"""
             WITH words AS (

@@ -33,6 +33,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def chunk_exact_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 15,
+) -> DataFrame:
+    """Passage-grain exact dedup — the web-scale approximation of exact
+    substring dedup (suffix-array dedup run at chunk grain when the
+    corpus is too big for one array): each document splits into
+    consecutive ``width``-word chunks (pure JVM: sequence + slice over
+    the once-split word array, NO explode-then-regroup shuffle), and a
+    chunk occurring in ≥2 distinct documents is a duplicated passage.
+    One posexplode → one hash aggregation; at 100 TB this is the same
+    single-agg shape as doc-grain exact_dedup, ~n_words/width rows in
+    flight."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    chunks = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * width + 1, width), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    return (
+        ex.groupBy("chunk")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus filter: keep exactly one row (min id) per normalized-text
     fingerprint. A window rank over the hash key — one shuffle, no join

@@ -334,3 +334,43 @@ def test_cap_stress_recall_regression_gate(spark, sf_small):
     mild = out[mild_key]
     assert mild["rows_dropped"] > 0, "stress point no longer drops — retune"
     assert mild["recall_vs_uncapped"] >= 0.95, out
+
+
+def test_chunk_exact_dups(spark):
+    """Passage-grain exact dedup: a 5-word passage shared by two docs
+    is found at its chunk grain; unique text is not; chunking is pure
+    column ops (no cartesian, single agg)."""
+    from cor_asv_ann_spark.operators.dedup import chunk_exact_dups
+
+    shared = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [
+            ("d1", f"{shared} unique one two three four"),
+            ("d2", f"other words first {shared}"),
+            ("d3", "completely different content here now"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    dups = chunk_exact_dups(df, width=5).collect()
+    # d1's chunk 0 == d2's chunk... d2: [other words first alpha beta]
+    # [gamma delta epsilon] — alignment differs, so only width-aligned
+    # repeats match: make d2 aligned instead
+    df2 = spark.createDataFrame(
+        [
+            ("d1", f"{shared} unique one two three four"),
+            ("d2", f"{shared} another tail of words here"),
+            ("d3", "completely different content here now"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    dups = {r.chunk: (r.n_docs, r.n_occurrences)
+            for r in chunk_exact_dups(df2, width=5).collect()}
+    assert dups == {shared: (2, 2)}
+    # repeated passage WITHIN one doc does not count as cross-doc dup
+    df3 = spark.createDataFrame(
+        [("d1", f"{shared} {shared}"), ("d2", "nothing shared")],
+        "doc_id string, text string",
+    )
+    assert chunk_exact_dups(df3, width=5).count() == 0
