@@ -180,6 +180,8 @@ def main() -> None:
         "knn_ivf",
         "mark_oov_affix",
         "mark_oov_compound",
+        "mark_oov_charmap",
+        "dedup_chunks",
         "char_lm_counts",
         "strip_boilerplate",
         "html_extract",
