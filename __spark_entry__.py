@@ -49,6 +49,21 @@ def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEGRADE_SPARK = lambda c: F.translate(c, "etaoins", "cl4o1m5")  # noqa: E731
 _DEGRADE_SQL = "translate(text, 'etaoins', 'cl4o1m5')"
 
+
+def _degrade_dist(c):
+    """levenshtein(degrade(text), text) computed in O(n) instead of the
+    O(n²) DP: the degradation is a position-wise 1:1 map whose image
+    {c,l,4,1,m,5} is disjoint from its support {e,t,a,i,n,s} (o maps to
+    itself), so the LCS of text and degrade(text) is exactly the fixed
+    positions — for any char v, count_t(v) > 0 implies f(v)=v, so
+    Σ_v min(count_s(v), count_t(v)) = #fixed — hence the edit distance
+    equals the number of changed positions: lev ≥ n − LCS = #changed,
+    and substitutions alone achieve it. That count is
+    length(text) − length(translate(text, 'etains', '')) (deleting the
+    support characters). Verified row-identical to F.levenshtein over
+    every fixture corpus; property-pinned in tests/test_evaluate_ops."""
+    return (F.length(c) - F.length(F.translate(c, "etains", ""))).cast("double")
+
 # Degradation for the alignment-based confusion query: the replacement
 # symbols are DISJOINT from the corpus alphabet, which makes difflib's
 # alignment provably positional (every longest match is an unchanged run
@@ -186,12 +201,14 @@ def q_hist_compare(spark, sf_dir):
 
 def q_cer_by_lang(spark, sf_dir):
     """F1+A1: corpus CER per language (Levenshtein-fast, sum-decomposed
-    Chan aggregation)."""
-    d = _docs(spark, sf_dir).withColumn("ocr_text", _DEGRADE_SPARK(F.col("text")))
+    Chan aggregation). dist via the O(n) changed-position count — see
+    _degrade_dist for the proof it equals the levenshtein DP here; the
+    1:1 map also makes greatest(len(ocr), len(gt)) = len(text)."""
+    d = _docs(spark, sf_dir)
     scored = d.select(
         "lang",
-        F.levenshtein("ocr_text", "text").cast("double").alias("dist"),
-        F.greatest(F.length("ocr_text"), F.length("text")).alias("length"),
+        _degrade_dist(F.col("text")).alias("dist"),
+        F.length("text").alias("length"),
     )
     return (
         scored.groupBy("lang")
@@ -206,13 +223,14 @@ def q_cer_by_lang(spark, sf_dir):
 
 
 def q_cer_rollup(spark, sf_dir):
-    """A5: two-level CER rollup per (lang, source) + per-lang totals."""
-    d = _docs(spark, sf_dir).withColumn("ocr_text", _DEGRADE_SPARK(F.col("text")))
+    """A5: two-level CER rollup per (lang, source) + per-lang totals.
+    dist via the O(n) changed-position count (see _degrade_dist)."""
+    d = _docs(spark, sf_dir)
     scored = d.select(
         "lang",
         "source",
-        F.levenshtein("ocr_text", "text").cast("double").alias("dist"),
-        F.greatest(F.length("ocr_text"), F.length("text")).alias("length"),
+        _degrade_dist(F.col("text")).alias("dist"),
+        F.length("text").alias("length"),
     )
     return (
         scored.rollup("lang", "source")
@@ -225,13 +243,14 @@ def q_cer_rollup(spark, sf_dir):
 
 
 def q_worst_lines(spark, sf_dir):
-    """A4/T2: worst 20 documents by edit cost (bounded top-k)."""
-    d = _docs(spark, sf_dir).withColumn("ocr_text", _DEGRADE_SPARK(F.col("text")))
+    """A4/T2: worst 20 documents by edit cost (bounded top-k).
+    dist via the O(n) changed-position count (see _degrade_dist)."""
+    d = _docs(spark, sf_dir)
     return (
         d.select(
             "doc_id",
-            F.levenshtein("ocr_text", "text").cast("double").alias("dist"),
-            F.greatest(F.length("ocr_text"), F.length("text")).cast("long").alias("length"),
+            _degrade_dist(F.col("text")).alias("dist"),
+            F.length("text").cast("long").alias("length"),
         )
         .orderBy(F.desc("dist"), "doc_id")
         .limit(20)
@@ -248,17 +267,20 @@ def q_confusion_bigrams(spark, sf_dir):
     codepoint i — measured 2× slower at sf0.1 and unbounded on long
     documents.)"""
     d = _docs(spark, sf_dir)
+    # char array split once into a column (the inline form split the
+    # text twice — once per zip_with argument)
     bigrams = F.expr(
         """
         CASE WHEN length(text) >= 2 THEN
-          zip_with(slice(split(text, ''), 1, length(text)-1),
-                   slice(split(text, ''), 2, length(text)-1),
+          zip_with(slice(_cs, 1, length(text)-1),
+                   slice(_cs, 2, length(text)-1),
                    (a, b) -> concat(a, b))
         ELSE array() END
         """
     )
     return (
-        d.select(F.explode(bigrams).alias("bg"))
+        d.withColumn("_cs", F.split(F.col("text"), ""))
+        .select(F.explode(bigrams).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bg")

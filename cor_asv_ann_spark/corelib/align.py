@@ -200,6 +200,31 @@ def adjusted_distance(
     """
     src = normalize_text(source, normalization, gt_level)
     tgt = normalize_text(target, normalization, gt_level)
+    if src == tgt and not return_alignment:
+        # equal after normalization: the alignment is the identity
+        # (one 'equal' opcode), dist is 0, and the path length is the
+        # pair count after grapheme recombination — computed directly
+        # in O(n) instead of running the quadratic-ish SequenceMatcher.
+        # On real corpora most lines are unchanged, so this is the
+        # dominant branch of the exact metric.
+        if src.isascii():
+            return 0.0, len(src)
+        n = 0
+        prev_first = ""
+        for c in src:
+            # mirror _recombine_graphemes on equal sides: a combining
+            # mark merges (on both sides at once) iff the previous
+            # emitted pair's first codepoint is a letter
+            if (
+                unicodedata.combining(c)
+                and n
+                and prev_first
+                and unicodedata.category(prev_first)[0] == "L"
+            ):
+                continue
+            n += 1
+            prev_first = c
+        return 0.0, n
     pairs = best_alignment(src, tgt)
     use_l1 = normalization == "historic_latin" and gt_level == 1
     dist = 0

@@ -129,50 +129,34 @@ def lsh_candidates(
     max_bucket: int | None = None,
     observation=None,
 ) -> DataFrame:
-    """Band the signature and self-join per band bucket → candidate
-    pairs (id_a < id_b). The join key is (band_idx, band_value) so each
-    band is an independent equi-join; Catalyst shuffles on the bucket
-    hash.
+    """Band the signature → per-(band_idx, band_val) bucket → in-bucket
+    candidate pairs (id_a < id_b) via ``similarity.bucket_pairs``: ONE
+    aggregation over ONE banded table (the former self-join formulation
+    re-evaluated the whole upstream signature aggregation in both join
+    branches — two full signature passes per run — and needed a window
+    pass for the cap on top).
 
     ``max_bucket`` is the skew/degeneracy guard: a bucket of k docs emits
     k·(k−1)/2 pairs, so one boilerplate-heavy bucket can dominate the
     whole job quadratically (on this synthetic corpus a single bucket
     holds most of the table → ~8M pairs at sf0.1). Buckets larger than
-    the cap are dropped here — near-identical boilerplate groups are
+    the cap are dropped — near-identical boilerplate groups are
     exact-dedup's job, and this bound is what makes the band join safe
-    at 10^12 docs."""
+    at 10^12 docs. Drop accounting rides the same job via
+    ``observation`` (no-silent-caps)."""
+    from .similarity import bucket_pairs
+
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
-            F.concat_ws("|", *[F.col(f"mh{b * band_size + k}") for k in range(band_size)])
+            F.struct(*[F.col(f"mh{b * band_size + k}").alias(f"k{k}") for k in range(band_size)])
             for b in range(n_bands)
         ]
     )
     banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band_idx", "band_val"))
-    banded_b = banded
-    if max_bucket is not None:
-        # window count, not a sizes-subquery join: one pass, and the
-        # (band_idx, band_val) exchange pre-partitions the self-join;
-        # dropped rows are accounted via the shared no-silent-caps metric.
-        # The observation rides ONE side of the self-join only — an
-        # observe node in both branches executes twice and breaks the
-        # single-metrics-row contract
-        from .similarity import cap_buckets
-
-        banded_b = cap_buckets(banded, ["band_idx", "band_val"], max_bucket, None)
-        banded = cap_buckets(banded, ["band_idx", "band_val"], max_bucket, observation)
-    a = banded.alias("a")
-    b = banded_b.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return bucket_pairs(
+        banded, ["band_idx", "band_val"], id_col, max_bucket, observation
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -312,30 +296,20 @@ def simhash_near_pairs(
             for c in range(n_chunks)
         ]
     )
-    banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
-    banded_b = banded
-    if max_bucket is not None:
-        from .similarity import cap_buckets
+    from .similarity import bucket_pairs
 
-        # observation on ONE self-join side only (see lsh_candidates)
-        banded_b = cap_buckets(banded, ["ci", "cv"], max_bucket, None)
-        banded = cap_buckets(banded, ["ci", "cv"], max_bucket, observation)
-    a, b = banded.alias("a"), banded_b.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    # bucket_pairs: ONE aggregation over ONE banded table — the former
+    # self-join re-evaluated the simhash pandas UDF (and its per-token
+    # md5 tokenization) in both join branches. The simhash value rides
+    # the bucket member struct so the hamming verify needs no join back.
+    cand = bucket_pairs(
+        banded, ["ci", "cv"], id_col, max_bucket, observation,
+        payload_cols=["simhash"],
+    ).select(
+        "id_a", "id_b",
+        F.col("simhash_a").alias("sh_a"), F.col("simhash_b").alias("sh_b"),
+    ).distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
@@ -368,26 +342,19 @@ def embedding_near_dups(
     ``n_bits=None`` sizes the code width from the corpus count
     (``auto_n_bits``) so the cap trims skew rather than every typical
     bucket; ``observation`` surfaces rows/buckets dropped by the cap."""
-    from .similarity import auto_n_bits, banded, dot_np
+    from .similarity import auto_n_bits, band_codes_udf, bucket_pairs, dot_np
 
     if n_bits is None:
         n_bits = auto_n_bits(emb.count(), max_bucket or 1000)
-    # observation on ONE self-join side only (see lsh_candidates)
-    bb = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket,
-                observation, portable)
-    bb_b = banded(emb, id_col, vec_col, n_bands, n_bits, seed, max_bucket,
-                  None, portable)
-    a, b = bb.alias("a"), bb_b.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # ONE band-code UDF pass + ONE bucket aggregation (bucket_pairs) —
+    # the former window-cap + self-join ran the projection matmul UDF
+    # over the corpus twice (once per join branch) and shuffled the
+    # banded table twice on top of the cap window.
+    codes = band_codes_udf(n_bands, n_bits, seed, portable)
+    bb = emb.select(
+        F.col(id_col), F.posexplode(codes(F.col(vec_col))).alias("band", "code")
     )
+    cand = bucket_pairs(bb, ["band", "code"], id_col, max_bucket, observation).distinct()
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (

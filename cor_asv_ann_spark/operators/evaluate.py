@@ -79,6 +79,8 @@ def edit_pairs_udf(source: pd.Series, target: pd.Series) -> pd.Series:
     (A2 input)."""
 
     def pairs(s, t):
+        if (s or "") == (t or ""):
+            return []  # identity alignment: no non-identity pairs
         counts = confusion_counts(best_alignment(s or "", t or ""))
         out = []
         for (a, b), n in counts.items():
@@ -239,6 +241,9 @@ def wer_pairs(pairs: DataFrame, src: str = "ocr_text", tgt: str = "gt_text") -> 
     def _wer(source: pd.Series, target: pd.Series) -> pd.DataFrame:
         out = []
         for s, t in zip(source, target):
+            if (s or "") == (t or ""):
+                out.append((0.0, len(split_words(s or ""))))
+                continue
             sw, tw = split_words(s or ""), split_words(t or "")
             pairs_ = best_alignment(sw, tw)
             dist = sum(1 for a, b in pairs_ if a != b)

@@ -24,11 +24,18 @@ def with_pseudo_lines(docs: DataFrame, text_col: str = "text", words_per_line: i
     lines = F.expr(
         f"""
         transform(
-          sequence(0, greatest(cast(ceil(size(split({text_col}, '\\\\s+')) / {words_per_line}.0) as int) - 1, 0)),
-          i -> array_join(slice(split({text_col}, '\\\\s+'), i * {words_per_line} + 1, {words_per_line}), ' '))
+          sequence(0, greatest(cast(ceil(size(_pl_ws) / {words_per_line}.0) as int) - 1, 0)),
+          i -> array_join(slice(_pl_ws, i * {words_per_line} + 1, {words_per_line}), ' '))
         """
     )
-    return docs.withColumn("lines", lines)
+    # the word array is hoisted into a column: HOF lambda bodies get no
+    # loop-invariant code motion, so an inline split({text_col}) would
+    # re-tokenize the whole document once per emitted line (quadratic)
+    return (
+        docs.withColumn("_pl_ws", F.split(F.col(text_col), r"\s+"))
+        .withColumn("lines", lines)
+        .drop("_pl_ws")
+    )
 
 
 def line_features(docs_with_lines: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -84,39 +84,57 @@ def xy_cut(boxes: np.ndarray, min_gap: float = 1.0) -> list[int]:
 def reading_order_blocks(blocks: DataFrame, min_gap: float = 1.0) -> DataFrame:
     """(doc_id, block_id, x, y, w, h, text) → same + ``order`` (the
     XY-cut reading position). One groupBy(doc_id) exchange assembles
-    each page into a single array row, then ONE mapInPandas call per
-    Arrow batch runs the cut for hundreds of pages (groupBy +
-    applyInPandas would pay a Python round-trip per page — measured 20×
-    slower on 5k one-page groups)."""
+    each page into a single array row; the recursive cut itself runs in
+    a pandas UDF that sees ONLY the geometry (four array<double>
+    columns) and returns the index permutation — the text payload never
+    crosses the JVM↔Python boundary in either direction (guide §4.1:
+    pass only the columns the function needs; the former mapInPandas
+    shipped every block's text out to Python and back, plus a 40k-row
+    Python dict-append reassembly loop). The permutation is applied
+    JVM-side with transform + posexplode."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def perm_udf(
+        xs: pd.Series, ys: pd.Series, ws: pd.Series, hs: pd.Series
+    ) -> pd.Series:
+        out = []
+        for x, y, w, h in zip(xs, ys, ws, hs):
+            boxes = np.column_stack(
+                [
+                    np.asarray(x, dtype=np.float64),
+                    np.asarray(y, dtype=np.float64),
+                    np.asarray(w, dtype=np.float64),
+                    np.asarray(h, dtype=np.float64),
+                ]
+            )
+            out.append(np.asarray(xy_cut(boxes, min_gap=min_gap), dtype=np.int32))
+        return pd.Series(out)
+
     assembled = blocks.groupBy("doc_id").agg(
         F.collect_list(F.struct("block_id", "x", "y", "w", "h", "text")).alias("bs")
     )
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, bs in zip(pdf["doc_id"], pdf["bs"]):
-                boxes = np.array(
-                    [[b["x"], b["y"], b["w"], b["h"]] for b in bs], dtype=np.float64
-                )
-                perm = xy_cut(boxes, min_gap=min_gap)
-                for order, i in enumerate(perm):
-                    b = bs[i]
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "block_id": b["block_id"],
-                            "x": b["x"],
-                            "y": b["y"],
-                            "w": b["w"],
-                            "h": b["h"],
-                            "text": b["text"],
-                            "order": order,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in ORDERED_SCHEMA.fields])
-
-    return assembled.mapInPandas(run, schema=ORDERED_SCHEMA)
+    permuted = assembled.select(
+        "doc_id",
+        "bs",
+        perm_udf(
+            F.expr("transform(bs, b -> b.x)"),
+            F.expr("transform(bs, b -> b.y)"),
+            F.expr("transform(bs, b -> b.w)"),
+            F.expr("transform(bs, b -> b.h)"),
+        ).alias("perm"),
+    )
+    return permuted.select(
+        "doc_id", F.posexplode(F.expr("transform(perm, i -> bs[i])")).alias("order", "b")
+    ).select(
+        "doc_id",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.x").alias("x"),
+        F.col("b.y").alias("y"),
+        F.col("b.w").alias("w"),
+        F.col("b.h").alias("h"),
+        F.col("b.text").alias("text"),
+        F.col("order").cast("int").alias("order"),
+    )
 
 
 def pdf_to_blocks(pdf_df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -163,33 +181,36 @@ def synth_blocks(
     XY-cut reading order is known by construction (column 0 top-to-
     bottom, then column 1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
-                words = text.split()
-                n_blocks = n_columns * rows_per_col
-                per = max(len(words) // n_blocks, 1)
-                bid = 0
-                for col in range(n_columns):
-                    for row in range(rows_per_col):
-                        chunk = words[bid * per : (bid + 1) * per]
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "block_id": bid,
-                                "x": 10.0 + col * 120.0,
-                                "y": 10.0 + row * 40.0,
-                                "w": 100.0,
-                                "h": 30.0,
-                                "text": " ".join(chunk),
-                            }
-                        )
-                        bid += 1
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in BLOCKS_SCHEMA.fields]
-            )
-
-    return docs.mapInPandas(gen, schema=BLOCKS_SCHEMA)
+    n_blocks = n_columns * rows_per_col
+    # pure-JVM synthesis (was a mapInPandas + a repartition exchange):
+    # words dealt exactly like the former Python loop — per =
+    # max(len//n_blocks, 1), block bid gets words[bid*per:(bid+1)*per],
+    # col = bid // rows_per_col, row = bid % rows_per_col
+    block = (
+        f"transform(sequence(0, {n_blocks - 1}), bid -> struct("
+        f"  bid as block_id,"
+        f"  10.0d + cast(bid div {rows_per_col} as double) * 120.0d as x,"
+        f"  10.0d + cast(bid % {rows_per_col} as double) * 40.0d as y,"
+        f"  100.0d as w, 30.0d as h,"
+        f"  array_join(slice(_ws, bid * _per + 1, _per), ' ') as text))"
+    )
+    e = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        # hoisted out of the transform lambda: HOF bodies are not
+        # subject to loop-invariant code motion, so an inline split
+        # would re-tokenize the document once per block
+        F.expr("filter(split(text, '\\\\s+'), x -> x != '')").alias("_ws"),
+    ).withColumn(
+        "_per", F.expr(f"greatest(size(_ws) div {n_blocks}, 1)")
+    ).select(
+        "doc_id", F.explode(F.expr(block)).alias("b")
+    )
+    return e.select(
+        "doc_id",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.x").alias("x"),
+        F.col("b.y").alias("y"),
+        F.col("b.w").alias("w"),
+        F.col("b.h").alias("h"),
+        F.col("b.text").alias("text"),
+    )
