@@ -48,7 +48,10 @@ def chunk_exact_dups(
     One posexplode → one hash aggregation; at 100 TB this is the same
     single-agg shape as doc-grain exact_dedup, ~n_words/width rows in
     flight."""
-    words = F.split(normalized_text(F.col(text_col)), " ")
+    # word array hoisted into a column: inside the transform lambda the
+    # split expression gets no loop-invariant code motion, so the inline
+    # form re-normalized and re-split the document once per chunk
+    words = F.col("_ws")
     n_chunks = F.ceil(F.size(words) / F.lit(width)).cast("int")
     chunks = F.when(
         F.size(words) > 0,
@@ -59,7 +62,9 @@ def chunk_exact_dups(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = df.select(
+    ex = df.withColumn(
+        "_ws", F.split(normalized_text(F.col(text_col)), " ")
+    ).select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
     return (

@@ -197,28 +197,36 @@ def synth_html(spark, sf_dir: str, words_per_para: int = 20) -> DataFrame:
     per page, so exact recovery is checkable (content == document text,
     boilerplate dropped, img → media span)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # repartition BEFORE synthesis so the exchange carries only the raw
+    # text (not the fatter HTML) and the downstream Python parse stage
+    # gets full parallelism; the synthesis itself is pure JVM string
+    # assembly (was a mapInPandas round-trip of every page)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-
-    def gen(batches):
-        for pdf in batches:
-            rows = []
-            for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
-                words = text.split()
-                paras = [
-                    " ".join(words[i : i + words_per_para])
-                    for i in range(0, max(len(words), 1), words_per_para)
-                ]
-                body = "\n".join(f"<p>{p}</p>" for p in paras)
-                html = (
-                    "<html><head><title>x</title><style>p{}</style></head><body>"
-                    "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
-                    "<header><h1>site</h1></header>"
-                    f"<main>{body}<p>figure: <img src='img://{doc_id}/0'> caption "
-                    "text that is long enough to keep around here</p></main>"
-                    "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"
-                    "</body></html>"
-                )
-                rows.append({"doc_id": doc_id, "html": html})
-            yield pd.DataFrame(rows, columns=["doc_id", "html"])
-
-    return docs.mapInPandas(gen, schema="doc_id string, html string")
+    body = (
+        f"array_join(transform("
+        f"  sequence(0, cast(ceil(greatest(size(_ws), 1) / {words_per_para}.0) as int) - 1),"
+        f"  i -> concat('<p>', array_join(slice(_ws, i * {words_per_para} + 1,"
+        f"                                      {words_per_para}), ' '), '</p>')), "
+        f"  '\\n')"
+    )
+    html = F.concat(
+        F.lit(
+            "<html><head><title>x</title><style>p{}</style></head><body>"
+            "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+            "<header><h1>site</h1></header><main>"
+        ),
+        F.expr(body),
+        F.lit("<p>figure: <img src='img://"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "/0'> caption text that is long enough to keep around here</p></main>"
+            "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"
+            "</body></html>"
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        # word array hoisted out of the HOF lambda (no loop-invariant
+        # code motion inside transform)
+        F.expr("filter(split(text, '\\\\s+'), x -> x != '')").alias("_ws"),
+    ).select("doc_id", html.alias("html"))

@@ -25,13 +25,14 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     JVM-side: each position i of every document emits its
     (preceding-(order−1)-chars, char) pair."""
     k = order - 1
-    # each position emits BOTH its (context, char) pair and the unigram
-    # ('', char) fallback row from ONE generate — a union of two branches
-    # would scan and re-split the corpus twice. At i=1 the context branch
-    # already degenerates to ctx='' (zero-length context), so the
-    # explicit unigram struct is emitted only for i>1 — otherwise the
-    # first character of every document would be double-counted in the
-    # '' context row.
+    # ONE struct per position (its (context, char) pair; at i=1 the
+    # context degenerates to ctx=''). The unigram ('', char) fallback is
+    # DERIVED from the aggregated table afterwards — ('' , ch)'s count
+    # is simply the total occurrence count of ch, i.e. the sum over the
+    # first aggregation's rows for that ch — so the generate emits half
+    # the rows the emit-both formulation did and the big hash
+    # aggregation consumes half the volume; the second aggregation runs
+    # over the (tiny, vocab-bounded) count table, not the corpus.
     #
     # COMPLEXITY: the document is split into a char ARRAY once and every
     # position slices that array (O(k) per position ⇒ O(n·k) per doc).
@@ -42,24 +43,29 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     chars = docs.select(F.split(F.col(text_col), "").alias("_chs"))
     pairs = F.expr(
         f"""
-        flatten(transform(
+        transform(
           _chs,
-          (c, i0) -> if(i0 > 0,
-                        array(struct(array_join(slice(_chs,
-                                                      greatest(i0 - {k} + 1, 1),
-                                                      least({k}, i0)), '') as ctx,
-                                     c as ch),
-                              struct('' as ctx, c as ch)),
-                        array(struct('' as ctx, c as ch)))))
+          (c, i0) -> struct(IF(i0 > 0,
+                               array_join(slice(_chs,
+                                                greatest(i0 - {k} + 1, 1),
+                                                least({k}, i0)), ''),
+                               '') as ctx,
+                            c as ch))
         """
     )
-    return (
+    ctx_counts = (
         chars.select(F.explode(pairs).alias("g"))
         .select("g.ctx", "g.ch")
         .filter(F.col("ch") != "")
         .groupBy("ctx", "ch")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    uni = (
+        ctx_counts.groupBy("ch")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .select(F.lit("").alias("ctx"), "ch", "n")
+    )
+    return ctx_counts.filter(F.col("ctx") != "").unionByName(uni)
 
 
 def lm_table(

@@ -35,6 +35,22 @@ def asword_udf(word: pd.Series) -> pd.Series:
     return word.map(norm)
 
 
+def asword_col(col, charmap: "dict[str, str] | None" = None):
+    """JVM-side ``asword`` normalization (whole-stage codegen, no
+    Python boundary): the charmap as a chain of SEQUENTIAL literal
+    replaces (wrapper/mark.py:60-62 iterates str.replace — mappings are
+    m:n, so maketrans does not apply), then strip every codepoint that
+    is not Unicode Letter/Mark. Replaces :func:`asword_udf` /
+    :func:`asword_normalizer` in the marking hot path — both Java regex
+    ``\\p{L}\\p{M}`` and Python ``unicodedata.category`` classify by
+    Unicode general category, and the JVM form is what the ANSI-SQL
+    oracle replays (equivalence pinned by tests/test_reseg_mark_lines
+    over the full fixture alphabet)."""
+    for nfrom, nto in (charmap or {}).items():
+        col = F.replace(col, F.lit(nfrom), F.lit(nto))
+    return F.regexp_replace(col, "[^\\p{L}\\p{M}]", "")
+
+
 def asword_normalizer(charmap: "dict[str, str] | None"):
     """``asword`` with the mark processor's ``normalization`` charmap
     applied first (wrapper/mark.py:60-62: SEQUENTIAL str.replace — the
@@ -324,10 +340,9 @@ def mark_words(
     iconv_udf = accepts_udf = None
     if compound is not None:
         iconv_udf, accepts_udf = _compound_udfs(words.sparkSession, compound)
-    asword = asword_normalizer(charmap)
-    norm_col = F.lower(asword(F.col("word")))
+    norm_col = F.lower(asword_col(F.col("word"), charmap))
     if compound is not None and compound.iconv:
-        norm_col = F.lower(asword(iconv_udf(F.col("word"))))
+        norm_col = F.lower(asword_col(iconv_udf(F.col("word")), charmap))
     normed = words.withColumn("normed", norm_col)
     # single broadcast LEFT join against the deduped lexicon: the old
     # semi-join + key-back-join shape rebroadcast a CORPUS-sized hit
@@ -390,7 +405,7 @@ def dehyphenate_recheck(
         if compound.iconv:
             joined = iconv_udf(joined)
     cand = df.withColumn(
-        "joined", F.when(hyph, F.lower(asword_normalizer(charmap)(joined)))
+        "joined", F.when(hyph, F.lower(asword_col(joined, charmap)))
     )
     # one broadcast LEFT join computes the joined-form IV flag in place
     # (the old semi-join + two key-back-joins shuffled corpus-sized hit

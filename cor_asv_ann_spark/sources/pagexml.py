@@ -162,7 +162,7 @@ def _ordered_text_regions(parent, ro_pos: dict[str, int]) -> list:
 
 
 def parse_page_xml(
-    doc_id: str, data: bytes, level: str = "word"
+    doc_id: str, data: bytes, level: str = "word", with_channels: bool = True
 ) -> dict:
     """Pure: one PAGE-XML document → the engine's interleaved span list
     plus per-line confidence channels.
@@ -261,6 +261,16 @@ def parse_page_xml(
     line_confmats: list[list[list[tuple[str, float]]]] = []
     off = 0
     for seq in lines:
+        if not with_channels:
+            # spans-only consumers (read_pagexml → spans_of) skip the
+            # per-character confidence vectors and the alternatives
+            # channel entirely — building + Arrow-shipping them for
+            # every page measurably dominates the spans-only scan
+            for kind, text, ref, alts in seq:
+                spans.append((kind, text, ref, off))
+                span_confs.append(alts[0][1])
+                off += 1
+            continue
         confs: list[float] = []
         chunks: list[list[tuple[str, float]]] = []
         for kind, text, ref, alts in seq:
@@ -289,7 +299,7 @@ _FULL_SCHEMA = (
 )
 
 
-def _parse_files(level: str, on_error: str = "fail"):
+def _parse_files(level: str, on_error: str = "fail", with_channels: bool = True):
     import pandas as pd
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -302,7 +312,10 @@ def _parse_files(level: str, on_error: str = "fail"):
                     if doc_id.endswith(ext):
                         doc_id = doc_id[: -len(ext)]
                 try:
-                    parsed = parse_page_xml(doc_id, bytes(content), level=level)
+                    parsed = parse_page_xml(
+                        doc_id, bytes(content), level=level,
+                        with_channels=with_channels,
+                    )
                 except Exception as exc:
                     # not just ParseError: malformed ATTRIBUTES raise
                     # too (float(conf)="0,95", int(index)="1a") — a torn
@@ -358,10 +371,16 @@ def read_pagexml_full(
     level: str = "word",
     n_partitions: int | None = None,
     on_error: str = "fail",
+    channels: bool = True,
 ) -> DataFrame:
     """One binaryFile scan → (doc_id, spans, line_confs,
     line_confmats-json). Cache this and project the three channel
     frames from it — the XML is parsed exactly once.
+
+    ``channels=False`` (used by the spans-only ``read_pagexml`` front
+    door) keeps the schema but skips building and Arrow-shipping the
+    per-character confidence vectors and the JSON alternatives channel
+    — pass only what downstream consumes (guide §4.1).
 
     ``n_partitions`` coalesces the scan (narrow, no shuffle) before
     parsing: binaryFile gives one split per file, and a corpus of many
@@ -419,7 +438,9 @@ def read_pagexml_full(
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
     df = df.coalesce(n_partitions)
-    return df.mapInPandas(_parse_files(level, on_error), schema=_FULL_SCHEMA)
+    return df.mapInPandas(
+        _parse_files(level, on_error, with_channels=channels), schema=_FULL_SCHEMA
+    )
 
 
 def spans_of(full: DataFrame) -> DataFrame:
@@ -452,7 +473,10 @@ def read_pagexml(
     spark: SparkSession, paths: str | list[str], level: str = "word", **kw
 ) -> DataFrame:
     """PAGE-XML files → span table (SPANS_SCHEMA). Extra kwargs
-    (``on_error``, ``n_partitions``) forward to read_pagexml_full."""
+    (``on_error``, ``n_partitions``) forward to read_pagexml_full.
+    Spans-only: the confidence/alternatives channels are neither built
+    nor shipped (``channels=False``)."""
+    kw.setdefault("channels", False)
     return spans_of(read_pagexml_full(spark, paths, level=level, **kw))
 
 

@@ -121,6 +121,12 @@ def main() -> None:
     if args.confmat and not args.pagexml_in:
         ap.error("--confmat requires --pagexml-in (the alternatives come "
                  "from multi-TextEquiv page files)")
+    if args.confmat and args.input:
+        # spans came from the --input branch above: the confmat channel
+        # was never read, so silently proceeding would either NameError
+        # or drop the requested channel — refuse loudly instead
+        ap.error("--confmat cannot be combined with --input (the confmat "
+                 "channel is read from the PAGE-XML input)")
     if args.confmat and args.beam:
         print("warning: --confmat is ignored with --beam (the beam path "
               "decodes the nominal text only); dropping the confmat "

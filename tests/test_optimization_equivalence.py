@@ -1,0 +1,166 @@
+"""Round-6 optimization equivalence pins.
+
+Every optimization that rewrote an operator's internals keeps a test
+here proving the rewrite computes the SAME thing as the formulation it
+replaced (or as an independent brute-force reference):
+
+* ``_degrade_dist`` (changed-position count) == ``F.levenshtein`` of the
+  CER degradation, property-tested over adversarial strings;
+* ``asword_col`` (JVM replace-chain + regexp) == the pandas
+  ``asword_normalizer`` over a stress alphabet, with and without a
+  cascading charmap;
+* ``bucket_pairs`` (groupBy + lazy in-bucket explode) == the former
+  window-cap + self-join pair set, including the cap and the
+  no-silent-caps Observation metrics;
+* ``adjusted_distance``'s equal-after-normalization fast path == the
+  full difflib path (alignment length after grapheme recombination);
+* ``char_ngram_counts``'s derived unigram rows == brute-force counts.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Observation, Row
+from pyspark.sql import functions as F
+
+ALPHABET = list("etaoins cl4o1m5xyzäöüſꝛß.-!?0123456789") + ["aͤ", "́"]
+
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice(ALPHABET) for _ in range(n))
+
+
+def test_degrade_dist_equals_levenshtein(spark):
+    import __spark_entry__ as e
+
+    rng = random.Random(7)
+    rows = [Row(text=_rand_text(rng, rng.randint(0, 80))) for _ in range(400)]
+    rows += [Row(text=t) for t in ("", "etaoins", "cl4o1m5", "ecl", "ttt", "o" * 50)]
+    df = spark.createDataFrame(rows)
+    lev = F.levenshtein(e._DEGRADE_SPARK(F.col("text")), F.col("text"))
+    bad = df.select(
+        (lev.cast("double") != e._degrade_dist(F.col("text"))).cast("int").alias("bad")
+    ).agg(F.sum("bad").alias("s")).collect()[0].s
+    assert bad == 0
+
+
+STRESS_WORDS = [
+    "", "Hello", "wörd", "aͤbc", "Schiff-fahrt", "1870", "—", "x…y",
+    "ſtreet", "day's", "漢字かな", "mixed123abc", "́start", "end́",
+    "a,b;c", "ÆØÅæøå", "Ʒʒ", "tab\there", "new\nline",
+]
+
+
+@pytest.mark.parametrize("charmap", [None, {"a": "b", "b": "a"}, {"aͤ": "ä", "s": ""}])
+def test_asword_col_matches_pandas_normalizer(spark, charmap):
+    from cor_asv_ann_spark.operators.mark import asword_col, asword_normalizer
+
+    df = spark.createDataFrame([Row(word=w) for w in STRESS_WORDS])
+    out = df.select(
+        "word",
+        asword_col(F.col("word"), charmap).alias("jvm"),
+        asword_normalizer(charmap)(F.col("word")).alias("py"),
+    ).collect()
+    for r in out:
+        assert r.jvm == r.py, f"{r.word!r}: jvm={r.jvm!r} py={r.py!r}"
+
+
+def _old_self_join_pairs(banded, keys, id_col, max_bucket, observation=None):
+    """The pre-round-6 formulation (window cap + self-join), kept here
+    as the reference semantics for bucket_pairs."""
+    from cor_asv_ann_spark.operators.similarity import cap_buckets
+
+    banded_b = banded
+    if max_bucket is not None:
+        banded_b = cap_buckets(banded, keys, max_bucket, None)
+        banded = cap_buckets(banded, keys, max_bucket, observation)
+    a, b = banded.alias("a"), banded_b.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+@pytest.mark.parametrize("max_bucket", [None, 4])
+def test_bucket_pairs_matches_self_join(spark, max_bucket):
+    from cor_asv_ann_spark.operators.similarity import bucket_pairs
+
+    rng = random.Random(3)
+    rows = [
+        Row(doc_id=i, band=b, code=rng.randint(0, 5))
+        for i in range(40)
+        for b in range(3)
+    ]
+    banded = spark.createDataFrame(rows)
+    obs_new, obs_old = Observation(), Observation()
+    new = bucket_pairs(
+        banded, ["band", "code"], "doc_id", max_bucket, obs_new
+    ).distinct()
+    old = _old_self_join_pairs(banded, ["band", "code"], "doc_id", max_bucket, obs_old)
+    new_set = {(r.id_a, r.id_b) for r in new.collect()}
+    old_set = {(r.id_a, r.id_b) for r in old.collect()}
+    assert new_set == old_set and len(new_set) > 0
+    if max_bucket is not None:  # the old form only observes when capped
+        mn, mo = obs_new.get, obs_old.get
+        assert mn["rows_total"] == mo["rows_total"]
+        assert mn["rows_dropped"] == (mo["rows_dropped"] or 0)
+        assert round(mn["buckets_dropped"]) == round(mo["buckets_dropped"] or 0.0)
+
+
+def test_bucket_pairs_payload_cols(spark):
+    from cor_asv_ann_spark.operators.similarity import bucket_pairs
+
+    rows = [
+        Row(doc_id=i, payload=i * 10, ci=0, cv=i % 2) for i in range(6)
+    ]
+    banded = spark.createDataFrame(rows)
+    out = bucket_pairs(
+        banded, ["ci", "cv"], "doc_id", None, None, payload_cols=["payload"]
+    ).collect()
+    for r in out:
+        assert r.id_a < r.id_b
+        assert r.payload_a == r.id_a * 10 and r.payload_b == r.id_b * 10
+    assert {(r.id_a, r.id_b) for r in out} == {(0, 2), (0, 4), (2, 4), (1, 3), (1, 5), (3, 5)}
+
+
+def test_adjusted_distance_fast_path_matches_full():
+    from cor_asv_ann_spark.corelib.align import adjusted_distance
+
+    cases = [
+        ("hello", None),
+        ("aͤbc", None),            # combining mark merges onto 'a'
+        ("́abc", None),            # leading mark cannot merge
+        (".́x", None),             # mark after punctuation: no merge
+        ("aſꝛb", "historic_latin"),     # L2-normalized equal
+        ("", None),
+    ]
+    for s, norm in cases:
+        fast = adjusted_distance(s, s, norm, 1)
+        d_full, n_full, pairs = adjusted_distance(s, s, norm, 1, return_alignment=True)
+        assert fast == (d_full, n_full), (s, fast, (d_full, n_full))
+        assert n_full == len(pairs)
+
+
+def test_char_lm_counts_derived_unigrams(spark):
+    from collections import Counter
+
+    from cor_asv_ann_spark.operators.lm import char_ngram_counts
+
+    texts = ["abcab", "bca", "", "aa"]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = {
+        (r.ctx, r.ch): r.n for r in char_ngram_counts(df, "text", order=3).collect()
+    }
+    want: Counter = Counter()
+    for t in texts:
+        for i, c in enumerate(t):
+            want[("", c)] += 1          # unigram fallback row per char
+            if i > 0:
+                want[(t[max(i - 2, 0):i], c)] += 1
+    assert got == dict(want)
