@@ -196,7 +196,8 @@ def correct_lines(
     corrector = corrector or charmap_corrector
     if n_partitions is None:
         n_partitions = lines.sparkSession.sparkContext.defaultParallelism * 2
-    lines = lines.repartition(n_partitions, "doc_id", "line_no")
+    if n_partitions:  # 0 = caller pre-partitioned the span-grain input
+        lines = lines.repartition(n_partitions, "doc_id", "line_no")
     out = lines.mapInPandas(make_correct_lines_udf(corrector), schema=CORRECTED_LINE_SCHEMA)
     # per-line CER via the JVM builtin (a pure-Python DP here was 70% of
     # the whole UDF stage's CPU)
@@ -306,9 +307,9 @@ def correct_lines_stateful(
     across the many documents of a partition."""
     if n_partitions is None:
         n_partitions = lines.sparkSession.sparkContext.defaultParallelism * 2
-    lines = lines.repartition(n_partitions, "doc_id").sortWithinPartitions(
-        "doc_id", "line_no"
-    )
+    if n_partitions:  # 0 = caller pre-partitioned by doc_id already
+        lines = lines.repartition(n_partitions, "doc_id")
+    lines = lines.sortWithinPartitions("doc_id", "line_no")
     out = lines.mapInPandas(
         make_correct_lines_stateful_udf(correct_docs), schema=CORRECTED_LINE_SCHEMA
     )
@@ -391,6 +392,25 @@ def correct_pipeline(
         if bucket_filter is not None:
             flat = flat.filter(F.col("bucket").isin(bucket_filter))
         flat = flat.drop("bucket")
+    # ONE wide exchange for line assembly + compute sizing: the span
+    # grain is hash-repartitioned to the UDF's partition count BEFORE
+    # the line groupBy, whose ClusteredDistribution requirement the
+    # explicit HashPartitioning already satisfies — so the aggregation
+    # adds no exchange of its own, and the correction stage (told via
+    # n_partitions=0 that the input is pre-partitioned) adds none
+    # either. Previously the same line rows crossed the wire twice:
+    # once into the groupBy, once more through the explicit
+    # REPARTITION_BY_NUM that defeats AQE's pre-UDF coalescing — the
+    # pre-partition keeps that AQE-defeating property (user-specified
+    # partition counts are not coalesced) at half the shuffle volume.
+    # The stateful path partitions by doc_id alone (a subset of the
+    # groupBy keys still satisfies its clustering) so documents stay
+    # whole within a partition.
+    n_partitions = spans_df.sparkSession.sparkContext.defaultParallelism * 2
+    if stateful_correct_docs is not None:
+        flat = flat.repartition(n_partitions, "doc_id")
+    else:
+        flat = flat.repartition(n_partitions, "doc_id", "line_no")
     lines = assemble_lines(flat)
     if conf_df is not None:
         lines = lines.join(conf_df, ["doc_id", "line_no"], "left")
@@ -404,9 +424,9 @@ def correct_pipeline(
             "left",
         )
     if stateful_correct_docs is not None:
-        corrected = correct_lines_stateful(lines, stateful_correct_docs)
+        corrected = correct_lines_stateful(lines, stateful_correct_docs, n_partitions=0)
     else:
-        corrected = correct_lines(lines, corrector)
+        corrected = correct_lines(lines, corrector, n_partitions=0)
     return reassemble(corrected, with_confs=with_confs)
 
 
