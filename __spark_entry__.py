@@ -266,7 +266,9 @@ def q_confusion_bigrams(spark, sf_dir):
     each substring() re-scans the UTF-8 string from the start to find
     codepoint i — measured 2× slower at sf0.1 and unbounded on long
     documents.)"""
-    d = _docs(spark, sf_dir)
+    from cor_asv_ann_spark.session import spread_input
+
+    d = spread_input(_docs(spark, sf_dir))  # counts: spread-safe
     # char array split once into a column (the inline form split the
     # text twice — once per zip_with argument)
     bigrams = F.expr(

@@ -114,16 +114,23 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFram
 
 
 def minhash_signature(df: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
-    """MinHash over exploded shingles: one min(md5(shingle||seed)) per
-    seed — n_hashes partial-aggregable mins in a single groupBy pass.
-    md5 keeps the signature engine-portable (same values in the DuckDB
-    oracle)."""
-    ex = df.select(id_col, F.explode("shingles").alias("g"))
-    aggs = [
-        F.min(F.md5(F.concat(F.col("g"), F.lit(f"#{s}")))).alias(f"mh{s}")
-        for s in range(n_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*aggs)
+    """MinHash as a NARROW projection: the shingle set is already an
+    array per document, so min(md5(shingle||seed)) is
+    array_min(transform(...)) — no explode, no aggregation, no exchange
+    (the former explode → groupBy(min×8) pass sort-aggregated — min over
+    variable-length strings has no mutable buffer, so it couldn't even
+    hash-aggregate — and shuffled one row per (doc, shingle)).
+    Documents with no shingles are filtered out, exactly as the explode
+    formulation dropped them (no rows to group). md5 keeps the signature
+    engine-portable (same values in the DuckDB oracle)."""
+    def _mh(s: int):
+        return F.array_min(
+            F.transform("shingles", lambda g: F.md5(F.concat(g, F.lit(f"#{s}"))))
+        ).alias(f"mh{s}")
+
+    return df.filter(F.size("shingles") > 0).select(
+        id_col, *[_mh(s) for s in range(n_hashes)]
+    )
 
 
 def lsh_candidates(
@@ -217,7 +224,16 @@ def minhash_dedup(
     here a MEMORY_AND_DISK persist for the job's lifetime)."""
     from pyspark import StorageLevel
 
-    sh = with_shingles(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    from ..session import spread_input
+
+    # spread a single-split input first: shingling + the 8-hash
+    # signature projection are narrow, and on a one-row-group fixture
+    # they would otherwise run on one core end to end (measured 31 s vs
+    # ~3 s at sf0.1); the exchange moves only the raw text, before any
+    # array blow-up, and is a no-op on well-split tables
+    sh = with_shingles(spread_input(df), text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = minhash_signature(sh, id_col, n_hashes)
     cand = lsh_candidates(sig, id_col, n_hashes, band_size, max_bucket, observation)
     return ngram_jaccard_pairs(sh, cand, id_col, threshold)
@@ -242,6 +258,11 @@ def simhash(
     the same trick as ``minhash_signature`` — so any ANSI engine (the
     DuckDB oracle) reproduces the exact simhash values. ``portable=False``
     uses xxhash64 (cheaper at 100 TB, engine-specific)."""
+    from ..session import spread_input
+
+    df = spread_input(df)  # votes are per-doc integer sums: spreading a
+    # single-split input parallelizes the (dominant) per-token md5 +
+    # numpy vote stage without touching any result
     if portable:
         token_hashes = F.expr(
             f"transform(filter(split(lower(regexp_replace({text_col}, '\\\\s+', ' ')), ' '),"
@@ -314,10 +335,17 @@ def simhash_near_pairs(
     ).select(
         "id_a", "id_b",
         F.col("simhash_a").alias("sh_a"), F.col("simhash_b").alias("sh_b"),
-    ).distinct()
+    )
+    # hamming BEFORE the cross-band distinct: it is a pure JVM function
+    # of the pair, so filter∘distinct ≡ distinct∘filter — but filtering
+    # first shrinks the distinct's exchange from every in-bucket pair
+    # (~2.8M rows at sf0.1) to just the near-duplicates (~10k)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -359,7 +387,39 @@ def embedding_near_dups(
     bb = emb.select(
         F.col(id_col), F.posexplode(codes(F.col(vec_col))).alias("band", "code")
     )
-    cand = bucket_pairs(bb, ["band", "code"], id_col, max_bucket, observation).distinct()
+    cand_raw = bucket_pairs(bb, ["band", "code"], id_col, max_bucket, observation)
+    # exact-cosine verify. When the table fits the broadcast budget the
+    # pairs are dotted against a broadcast id->vector matrix (2 longs of
+    # Arrow traffic per pair instead of 2·dim doubles, and no verify
+    # joins at all — the einsum and hence the floats are identical);
+    # at scale indexed_dot_udf declines and the join + batched-numpy
+    # plan below runs.
+    from .similarity import indexed_dot_udf
+
+    # both verify UDFs are marked non-deterministic (guide §4.4): the
+    # cosine threshold filter otherwise gets pushed below the
+    # cross-band distinct and the optimizer re-evaluates the UDF on
+    # BOTH sides of it — measured as the whole pre-distinct candidate
+    # volume (~2.2× the unique pairs) paying the Python boundary twice
+    pair_dot = indexed_dot_udf(emb.sparkSession, emb, id_col, vec_col)
+    if pair_dot is not None:
+        # verify BEFORE the cross-band distinct: the indexed dot costs
+        # ~2 longs of Arrow + one einsum row per pair, far less than
+        # shuffling every in-bucket pair through a distinct — the
+        # threshold filter shrinks the distinct's input from the raw
+        # band fan-out (~4M rows at sf0.1) to the actual near-dups;
+        # cosine is functional in the pair, so distinct∘filter∘dot ≡
+        # dot∘distinct with the same output set
+        pair_dot = pair_dot.asNondeterministic()
+        return (
+            cand_raw.withColumn(
+                "cosine", F.round(pair_dot(F.col("id_a"), F.col("id_b")), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .distinct()
+        )
+    cand = cand_raw.distinct()
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
@@ -368,7 +428,10 @@ def embedding_near_dups(
         # vectorized numpy verify: candidate volume is the product of the
         # band fan-out, so the exact-cosine pass must be batch math, not
         # a per-element HOF fold (measured ~30× at millions of pairs)
-        .withColumn("cosine", F.round(dot_np(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot_np.asNondeterministic()(F.col("v_a"), F.col("v_b")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

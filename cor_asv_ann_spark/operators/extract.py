@@ -90,8 +90,12 @@ def strip_boilerplate(
     """documents → (doc_id, clean_text, n_lines, n_kept, kept_ratio):
     the main-content extraction pass. One narrow projection + one
     line-grain aggregation; filters push to the scan."""
+    from ..session import spread_input
+
     classified = classify_lines(
-        line_features(with_pseudo_lines(docs, text_col, words_per_line), id_col),
+        line_features(
+            with_pseudo_lines(spread_input(docs), text_col, words_per_line), id_col
+        ),
         min_chars=min_chars,
         min_stop_density=min_stop_density,
     )

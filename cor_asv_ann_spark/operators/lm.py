@@ -40,7 +40,11 @@ def char_ngram_counts(docs: DataFrame, text_col: str = "text", order: int = 3) -
     # on UTF8 strings (codepoint scan from the start) ⇒ O(n²) per doc —
     # measured 2.4× slower at sf0.1's ~600-char docs and asymptotically
     # fatal on book-length documents at corpus scale.
-    chars = docs.select(F.split(F.col(text_col), "").alias("_chs"))
+    from ..session import spread_input
+
+    # counts are partition-order independent; spread a single-split
+    # input so the char explode + partial aggregation parallelize
+    chars = spread_input(docs).select(F.split(F.col(text_col), "").alias("_chs"))
     pairs = F.expr(
         f"""
         transform(

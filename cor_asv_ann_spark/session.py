@@ -2,9 +2,15 @@
 
 Local mode is single-JVM; the knobs that matter there are
 shuffle-partition count (≈ cores), AQE, and Arrow batching for the
-pandas-UDF inference stage (the reference batches 256 lines per model
-call — /root/reference/ocrd_cor_asv_ann/lib/seq2seq.py:111 — we let
-Arrow deliver comparable batch shapes).
+pandas-UDF stages. The default batch is 2048 rows: the high-volume
+vectorized UDFs (LSH pair verification, simhash packing) amortize
+per-batch overhead far better than the old 256 (measured: the
+embedding verify alone lost ~0.8 s/pass to 7k tiny batches at sf0.1),
+while the inference stage is batch-size-insensitive — the model
+corrector vectorizes across whatever Arrow hands it (the reference
+batches 256 lines per model call, lib/seq2seq.py:111, purely as its
+own fixed buffer size; decode results are per-line and
+batch-independent).
 """
 
 from __future__ import annotations
@@ -16,11 +22,29 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def spread_input(df, min_parts: int | None = None):
+    """Round-robin repartition when the incoming frame has fewer
+    partitions than the box has cores: a single-file fixture (one row
+    group) or an unsplittable shard otherwise serializes the WHOLE
+    narrow prefix of a job — shingling, hashing, explode + partial
+    aggregation all run on one core before the first exchange (guide
+    §2.5 input skew). No-op on well-split tables, so at warehouse scale
+    this never adds an exchange. Only used by operators whose
+    aggregates are partition-order independent (integer-exact sums /
+    per-row or per-doc computation) — float accumulations keep their
+    input partitioning."""
+    sc = df.sparkSession.sparkContext
+    n = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def build_session(
     app: str = "cor_asv_ann_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 256,
+    arrow_batch: int = 2048,
     extra: dict[str, str] | None = None,
     master: str | None = None,
 ) -> SparkSession:
