@@ -574,9 +574,10 @@ def q_mark_oov_affix(spark, sf_dir):
     Marking runs through the real operator (mark_words: asword
     normalization + broadcast left-semi against the lexicon)."""
     from cor_asv_ann_spark.operators.mark import mark_words
+    from cor_asv_ann_spark.session import spread_input
 
     lex = _mat_affix_lexicon(spark)
-    d = _docs(spark, sf_dir)
+    d = spread_input(_docs(spark, sf_dir))  # counts: spread-safe
     words = d.select(
         F.col("doc_id"),
         "lang",
@@ -615,9 +616,10 @@ def q_mark_oov_charmap(spark, sf_dir):
     reference's exact iteration order, which the DuckDB oracle replays
     as the same nested replace() chain."""
     from cor_asv_ann_spark.operators.mark import mark_words
+    from cor_asv_ann_spark.session import spread_input
 
     lex = _mat_affix_lexicon(spark)
-    d = _docs(spark, sf_dir)
+    d = spread_input(_docs(spark, sf_dir))  # counts: spread-safe
     words = d.select(
         F.col("doc_id"),
         "lang",
@@ -642,10 +644,12 @@ def _mat_compound_parts(spark, sf_dir):
     (the centroids trick applied to hunspell compounding)."""
     import os
 
+    from cor_asv_ann_spark.session import spread_input
+
     base = os.path.basename(os.path.normpath(sf_dir))
     tag = f"compound_parts_{base}"
     path = f"{_ORACLE_DIR}/{tag}"
-    d = _docs(spark, sf_dir)
+    d = spread_input(_docs(spark, sf_dir))  # counts: spread-safe
     parts = (
         d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
         .select(F.lower(F.regexp_replace("w", r"[^\p{L}\p{M}]", "")).alias("part"))

@@ -401,25 +401,24 @@ def embedding_near_dups(
     # cross-band distinct and the optimizer re-evaluates the UDF on
     # BOTH sides of it — measured as the whole pre-distinct candidate
     # volume (~2.2× the unique pairs) paying the Python boundary twice
+    # cross-band distinct BEFORE the verify: unlike simhash's JVM
+    # bit_count (where filtering first is free and shrinks the
+    # exchange), the cosine verify crosses the Python boundary — and
+    # A/B-measured interleaved at sf0.1, dotting the raw ~4M band
+    # fan-out then deduping (4.10 s) loses to deduping the compact
+    # (long, long) pairs first and dotting the ~1.8M unique ones
+    # (2.25 s)
+    cand = cand_raw.distinct()
     pair_dot = indexed_dot_udf(emb.sparkSession, emb, id_col, vec_col)
     if pair_dot is not None:
-        # verify BEFORE the cross-band distinct: the indexed dot costs
-        # ~2 longs of Arrow + one einsum row per pair, far less than
-        # shuffling every in-bucket pair through a distinct — the
-        # threshold filter shrinks the distinct's input from the raw
-        # band fan-out (~4M rows at sf0.1) to the actual near-dups;
-        # cosine is functional in the pair, so distinct∘filter∘dot ≡
-        # dot∘distinct with the same output set
         pair_dot = pair_dot.asNondeterministic()
         return (
-            cand_raw.withColumn(
+            cand.withColumn(
                 "cosine", F.round(pair_dot(F.col("id_a"), F.col("id_b")), 6)
             )
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
-            .distinct()
         )
-    cand = cand_raw.distinct()
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     return (
