@@ -694,10 +694,12 @@ def q_mark_oov_compound(spark, sf_dir):
         ),
         lambda t: F.length(t) >= 3,
     )
-    c = d.select(
+    # tokenization hoisted into a column: inlining `toks` into both
+    # element_at calls re-splits and re-normalizes the document twice
+    c = d.select("doc_id", toks.alias("_toks")).select(
         "doc_id",
-        F.element_at(toks, 1).alias("t1"),
-        F.element_at(toks, 2).alias("t2"),
+        F.element_at(F.col("_toks"), 1).alias("t1"),
+        F.element_at(F.col("_toks"), 2).alias("t2"),
     )
     singles = c.filter(F.col("t1").isNotNull()).select(
         "doc_id",

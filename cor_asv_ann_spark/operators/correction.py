@@ -154,10 +154,16 @@ def make_correct_lines_udf(corrector: CorrectorFn):
             out_lines, out_probs = res[0], res[1]
             paths = res[2] if len(res) > 2 else None  # model Viterbi paths
             rows_out, rows_conf, rows_cer = [], [], []
+            # list views once per batch: per-row .iloc on object Series
+            # is pandas indexing machinery in the hot loop
+            texts_rows = pdf["texts"].tolist()
+            kinds_rows = pdf["kinds"].tolist()
+            in_rows = in_lines.tolist()
+            out_rows = out_lines.tolist()
             for idx in range(len(pdf)):
-                texts = list(pdf["texts"].iloc[idx])
-                kinds = list(pdf["kinds"].iloc[idx])
-                in_line = in_lines.iloc[idx]
+                texts = list(texts_rows[idx])
+                kinds = list(kinds_rows[idx])
+                in_line = in_rows[idx]
                 if in_line == "":  # media-only / empty line: pass through
                     rows_out.append(texts)
                     rows_conf.append([1.0] * len(texts))
@@ -165,7 +171,7 @@ def make_correct_lines_udf(corrector: CorrectorFn):
                     continue
                 is_ws = [k in WS_KINDS for k in kinds]
                 locked = [k not in TEXT_KINDS for k in kinds]
-                out_line = out_lines.iloc[idx]
+                out_line = out_rows[idx]
                 probs = out_probs[idx] if out_probs is not None else None
                 path = paths[idx] if paths is not None else None
                 new_texts, new_confs = segment_output(
