@@ -644,12 +644,13 @@ def _mat_compound_parts(spark, sf_dir):
     (the centroids trick applied to hunspell compounding)."""
     import os
 
-    from cor_asv_ann_spark.session import spread_input
-
     base = os.path.basename(os.path.normpath(sf_dir))
     tag = f"compound_parts_{base}"
     path = f"{_ORACLE_DIR}/{tag}"
-    d = spread_input(_docs(spark, sf_dir))  # counts: spread-safe
+    # no spread here: the top-50 collect is cheap either way and the
+    # probe + exchange were measured as pure overhead (A/B 1.3 s vs
+    # 2.0 s on the full compound query)
+    d = _docs(spark, sf_dir)
     parts = (
         d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("w"))
         .select(F.lower(F.regexp_replace("w", r"[^\p{L}\p{M}]", "")).alias("part"))

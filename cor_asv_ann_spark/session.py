@@ -35,7 +35,20 @@ def spread_input(df, min_parts: int | None = None):
     input partitioning."""
     sc = df.sparkSession.sparkContext
     n = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        max_pb = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).rstrip("b")
+        )
+    except Exception:
+        return df
+    # fewer estimated splits than cores ⇔ estimated bytes below
+    # n × maxPartitionBytes. Plan statistics are analysis-only — the
+    # previous df.rdd.getNumPartitions() probe built the whole
+    # Python-RDD conversion (~0.3 s of pure overhead per call)
+    if size < n * max_pb:
         return df.repartition(n)
     return df
 
