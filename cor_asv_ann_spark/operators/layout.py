@@ -110,7 +110,17 @@ def reading_order_blocks(blocks: DataFrame, min_gap: float = 1.0) -> DataFrame:
             out.append(np.asarray(xy_cut(boxes, min_gap=min_gap), dtype=np.int32))
         return pd.Series(out)
 
-    assembled = blocks.groupBy("doc_id").agg(
+    # pre-partition the block grain to a compute-sized partition count
+    # (the flagship's exchange-merge pattern, correction.py): the
+    # groupBy's ClusteredDistribution is satisfied by the explicit
+    # HashPartitioning, so the aggregation adds no exchange of its own —
+    # and because user-specified partition counts are not coalesced by
+    # AQE, the per-page Python xy_cut stage keeps full parallelism
+    # (AQE's size-based coalescing collapsed the tiny geometry rows to
+    # ~1 partition, serializing 5000 recursive cuts in one worker —
+    # measured 3 Arrow batches total at sf0.1)
+    n_parts = blocks.sparkSession.sparkContext.defaultParallelism * 2
+    assembled = blocks.repartition(n_parts, "doc_id").groupBy("doc_id").agg(
         F.collect_list(F.struct("block_id", "x", "y", "w", "h", "text")).alias("bs")
     )
     permuted = assembled.select(
