@@ -1157,11 +1157,8 @@ def q_pagexml_lines(spark, sf_dir):
     loop is lossless (reference transcode.py:161-234,693-763 parity)."""
     import os
 
-    from cor_asv_ann_spark.operators.correction import (
-        assemble_lines,
-        spans_with_line_no,
-    )
     from cor_asv_ann_spark.sources.pagexml import (
+        lines_of,
         read_pagexml,
         synth_pagexml_corpus,
     )
@@ -1175,12 +1172,13 @@ def q_pagexml_lines(spark, sf_dir):
     # pass the DIRECTORY: the reader lists it with pathGlobFilter
     # (a 5000-match Hadoop glob costs ~10 s of per-file status calls)
     spans = read_pagexml(spark, out, level="word")
-    lines = assemble_lines(spans_with_line_no(spans))
-    return lines.select(
-        "doc_id",
-        F.col("line_no").cast("int").alias("line_no"),
-        F.concat_ws("", "texts").alias("line_text"),
-    ).orderBy("doc_id", "line_no")
+    # zero-exchange line assembly: the parse already yields each doc's
+    # ordered span array in one row, so lines come from a per-row HOF
+    # (lines_of) instead of explode → prefix-scan → groupBy shuffle →
+    # concat. With no exchange left below the sort, the orderBy's
+    # range-bounds sampling would re-execute the WHOLE scan+parse —
+    # _ordered's barrier materializes it once (A/B-kept; see _ordered).
+    return _ordered(lines_of(spans), "doc_id", "line_no")
 
 
 def q_correct_h5_model(spark, sf_dir):

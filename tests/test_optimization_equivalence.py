@@ -164,3 +164,35 @@ def test_char_lm_counts_derived_unigrams(spark):
             if i > 0:
                 want[(t[max(i - 2, 0):i], c)] += 1
     assert got == dict(want)
+
+
+def test_char_lm_counts_packed_key_matches_brute_force_unicode(spark):
+    """The order<=3 path packs (ctx, ch) into one bigint (cp+1 per
+    21-bit field) and decodes only the aggregated table — pin it against
+    a brute-force Python count over a unicode stress corpus: combining
+    marks, CJK, astral-plane codepoints (>0xFFFF), and a NUL (cp 0 must
+    not alias with the 'absent context' sentinel)."""
+    from collections import Counter
+
+    from cor_asv_ann_spark.operators.lm import char_ngram_counts
+
+    texts = [
+        "héllo wörld",
+        "日本語テキスト",
+        "\U0001d518\U0001d52b\U0001d526 frak",  # astral
+        "écombining",
+        "embedded\x00nul",
+        "",
+        "aa",
+    ]
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    got = {
+        (r.ctx, r.ch): r.n for r in char_ngram_counts(df, "text", order=3).collect()
+    }
+    want: Counter = Counter()
+    for t in texts:
+        for i, c in enumerate(t):
+            want[("", c)] += 1
+            if i > 0:
+                want[(t[max(i - 2, 0):i], c)] += 1
+    assert got == dict(want)
