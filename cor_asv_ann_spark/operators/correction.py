@@ -69,6 +69,58 @@ def spans_with_line_no(df: DataFrame) -> DataFrame:
     return e
 
 
+def lines_from_span_arrays(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) at DOC grain → the assemble_lines line grain
+    (doc_id, line_no, kinds, texts, media_refs, offsets) WITHOUT the
+    span-grain detour: no explode, no O(n²) prefix-scan, no
+    groupBy(doc_id, line_no) aggregation — each line is a contiguous
+    slice of the document's span array, split on newline spans, as a
+    pure per-row HOF (guide §2.4: the data already arrives grouped the
+    way the operation needs).
+
+    Contract (same as the span-grain path de facto relies on): the
+    span array is offset-ordered — spans_with_line_no's prefix scan
+    counts newlines in ARRAY order, so an unordered array never
+    produced meaningful lines there either. A trailing segment after
+    the last newline (or a document with no newline at all) becomes its
+    own line, exactly as the prefix scan numbered it."""
+    nl = F.expr(
+        "filter(transform(spans, (s, i) -> IF(s.kind = 'newline', i, -1)),"
+        " x -> x >= 0)"
+    )
+    ends = F.expr(
+        """
+        CASE WHEN size(spans) = 0 THEN array()
+             WHEN size(_nl) > 0 AND element_at(_nl, -1) = size(spans) - 1
+               THEN _nl
+             ELSE array_append(_nl, size(spans) - 1) END
+        """
+    )
+    lines = F.expr(
+        """
+        transform(_ends, (e, j) -> struct(
+          cast(j as int) as line_no,
+          slice(spans,
+                IF(j = 0, 0, element_at(_ends, j) + 1) + 1,
+                e - IF(j = 0, 0, element_at(_ends, j) + 1) + 1) as sp))
+        """
+    )
+    return (
+        spans_df.select("doc_id", "spans")
+        .withColumn("_nl", nl)
+        .withColumn("_ends", ends)
+        .select("doc_id", F.explode(lines).alias("l"))
+        .select(
+            "doc_id",
+            F.col("l.line_no").alias("line_no"),
+            F.expr("transform(l.sp, x -> x.kind)").alias("kinds"),
+            F.expr("transform(l.sp, x -> x.text)").alias("texts"),
+            F.expr("transform(l.sp, x -> x.media_ref)").alias("media_refs"),
+            F.expr("transform(l.sp, x -> x.offset)").alias("offsets"),
+        )
+    )
+
+
 def assemble_lines(flat: DataFrame) -> DataFrame:
     """Span grain → line grain: ordered parallel arrays per (doc, line).
     Media spans ride along as locked members of their line (zero text;
@@ -392,32 +444,30 @@ def correct_pipeline(
     conf-aware correctors (prob-line encoding, SURVEY §1.2);
     ``confmat_df`` the analogous confusion-network channel
     (doc_id, line_no, confmat — encoding 3, CONFMAT_SCHEMA)."""
-    flat = spans_with_line_no(spans_df)
+    # NARROW line assembly: each document row already holds its ordered
+    # span array, so the line grain comes from a per-row HOF slice
+    # (lines_from_span_arrays) — the former span-grain route (explode →
+    # prefix-scan → groupBy(doc_id, line_no) aggregation) paid an
+    # explode and a collect_list for data that was never ungrouped to
+    # begin with. ONE wide exchange remains: the line rows are
+    # hash-repartitioned to the UDF's compute-sized partition count
+    # (the explicit REPARTITION_BY_NUM defeats AQE's pre-UDF
+    # coalescing, the deliberate r4 property), and the correction stage
+    # (told via n_partitions=0 that the input is pre-partitioned) adds
+    # none. The stateful path partitions by doc_id alone so documents
+    # stay whole within a partition; line-grain keys otherwise keep the
+    # giant-document skew spread (pinned by the skew test).
+    lines = lines_from_span_arrays(spans_df)
     if n_buckets:
-        flat = flat.withColumn("bucket", salt_bucket(F.col("doc_id"), n_buckets))
+        lines = lines.withColumn("bucket", salt_bucket(F.col("doc_id"), n_buckets))
         if bucket_filter is not None:
-            flat = flat.filter(F.col("bucket").isin(bucket_filter))
-        flat = flat.drop("bucket")
-    # ONE wide exchange for line assembly + compute sizing: the span
-    # grain is hash-repartitioned to the UDF's partition count BEFORE
-    # the line groupBy, whose ClusteredDistribution requirement the
-    # explicit HashPartitioning already satisfies — so the aggregation
-    # adds no exchange of its own, and the correction stage (told via
-    # n_partitions=0 that the input is pre-partitioned) adds none
-    # either. Previously the same line rows crossed the wire twice:
-    # once into the groupBy, once more through the explicit
-    # REPARTITION_BY_NUM that defeats AQE's pre-UDF coalescing — the
-    # pre-partition keeps that AQE-defeating property (user-specified
-    # partition counts are not coalesced) at half the shuffle volume.
-    # The stateful path partitions by doc_id alone (a subset of the
-    # groupBy keys still satisfies its clustering) so documents stay
-    # whole within a partition.
+            lines = lines.filter(F.col("bucket").isin(bucket_filter))
+        lines = lines.drop("bucket")
     n_partitions = spans_df.sparkSession.sparkContext.defaultParallelism * 2
     if stateful_correct_docs is not None:
-        flat = flat.repartition(n_partitions, "doc_id")
+        lines = lines.repartition(n_partitions, "doc_id")
     else:
-        flat = flat.repartition(n_partitions, "doc_id", "line_no")
-    lines = assemble_lines(flat)
+        lines = lines.repartition(n_partitions, "doc_id", "line_no")
     if conf_df is not None:
         lines = lines.join(conf_df, ["doc_id", "line_no"], "left")
     if confmat_df is not None:
