@@ -76,6 +76,98 @@ def build_spans(
     return spans
 
 
+def _md5mod(key_expr: str, m: int) -> str:
+    """SQL for ``corelib.noise._key_int(key) % m``: the first 8 md5
+    bytes as an unsigned 64-bit integer, taken mod m. ``conv`` yields
+    the unsigned decimal STRING (a plain bigint cast would overflow the
+    sign bit); decimal(20,0) holds 2^64 exactly, and decimal %
+    is exact integer modulo."""
+    return (
+        f"(cast(conv(substring(md5({key_expr}), 1, 16), 16, 10)"
+        f" as decimal(20,0)) % {m})"
+    )
+
+
+def _synth_spans_jvm(docs: DataFrame, noisy: bool) -> DataFrame:
+    """Pure-JVM build_spans + degrade_reversible for level='word' —
+    byte-identical to the Python generator (exact-compared at sf0.01
+    and sf0.1, GT + noisy + tiled; pinned by a fingerprint gate and
+    test_optimization_equivalence). The Python path built every span
+    dict in a mapInPandas loop and Arrow-shipped the full nested table
+    out of Python per pass; here the whole synthesis is one projection.
+
+    Offset arithmetic is closed-form because only the LAST line can be
+    short: a full line is 7 words + 6 spaces + newline = 14 spans, and
+    a media span follows every 4th line, so line l starts at offset
+    14·l + l div 4. The historic-glyph degradation chain and its
+    hash gates replay ``_key_int`` via md5/conv (see _md5mod)."""
+    sprinkle = _md5mod("concat(doc_id, ':w', cast(g as string))", 7)
+    ws = (
+        f"transform(filter(split(text, '\\\\s+'), x -> x != ''),"
+        f" (w, g) -> IF({sprinkle} = 0, replace(w, 'a', 'ä'), w))"
+    )
+    # degrade_reversible: gate md5(doc:offset) % 3 == 0 keeps the span
+    # clean; otherwise the ordered replace chain (w→vv first) — built
+    # below over the actual word expression
+    # per line l (0-based): k = least(7, _n - 7*l) words, start offset
+    # s = 14*l + (l div 4); word wi at s+2*wi, inter-word space at
+    # s+2*wi+1, newline at s+2*k-1, media (after every 4th line) at
+    # s+2*k
+    spans = """
+      flatten(transform(_lines, l -> concat(
+        flatten(transform(sequence(0, least(7, _n - 7 * l) - 1, 1), wi ->
+          concat(
+            array(named_struct(
+              'kind', 'word',
+              'text', {WORDTEXT},
+              'media_ref', concat('xy://', doc_id, '/',
+                                  cast(14 * l + (l div 4) + 2 * wi as string)),
+              'offset', cast(14 * l + (l div 4) + 2 * wi as int))),
+            IF(wi < least(7, _n - 7 * l) - 1,
+               array(named_struct(
+                 'kind', 'space', 'text', ' ',
+                 'media_ref', cast(null as string),
+                 'offset', cast(14 * l + (l div 4) + 2 * wi + 1 as int))),
+               array())
+          ))),
+        array(named_struct(
+          'kind', 'newline', 'text', '\\n',
+          'media_ref', cast(null as string),
+          'offset', cast(14 * l + (l div 4) + 2 * least(7, _n - 7 * l) - 1
+                         as int))),
+        IF((l + 1) % 4 = 0,
+           array(named_struct(
+             'kind', 'media', 'text', '',
+             'media_ref', concat('img://', doc_id, '/',
+                                 cast(l + 1 as string)),
+             'offset', cast(14 * l + (l div 4) + 2 * least(7, _n - 7 * l)
+                            as int))),
+           array())
+      )))
+    """
+    w_expr = "element_at(_ws, cast(l * 7 + wi + 1 as int))"
+    o_expr = "14 * l + (l div 4) + 2 * wi"
+    if noisy:
+        chain_w = "element_at(_ws, cast(l * 7 + wi + 1 as int))"
+        for gt, ocr in (("w", "vv"), ("ä", "aͤ"), ("ö", "oͤ"),
+                        ("ü", "uͤ"), ("s", "ſ"), ("r", "ꝛ")):
+            chain_w = f"replace({chain_w}, '{gt}', '{ocr}')"
+        gate_o = _md5mod(f"concat(doc_id, ':', cast({o_expr} as string))", 3)
+        word_text_sql = f"IF({gate_o} = 0, {w_expr}, {chain_w})"
+    else:
+        word_text_sql = w_expr
+    spans = spans.replace("{WORDTEXT}", word_text_sql)
+    return (
+        docs.withColumn("_ws", F.expr(ws))
+        .withColumn("_n", F.expr("size(_ws)"))
+        .withColumn(
+            "_lines",
+            F.expr("IF(_n = 0, array(), sequence(0, (_n + 6) div 7 - 1, 1))"),
+        )
+        .select(F.col("doc_id").cast("string").alias("doc_id"), F.expr(spans).alias("spans"))
+    )
+
+
 def synth_spans(
     spark: SparkSession, sf_dir: str, noisy: bool = False, level: str = "word",
     times: int = 1,
@@ -99,6 +191,11 @@ def synth_spans(
     # generator across the cluster (a real 10^12-doc Iceberg table arrives
     # already split, so this shuffle exists only in the synthetic path)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    if level == "word":
+        # pure-JVM synthesis (exact-equivalent; see _synth_spans_jvm) —
+        # the glyph/line grains keep the Python generator (per-char
+        # emission; cold paths, materialized once per sf)
+        return _synth_spans_jvm(docs, noisy)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -196,3 +196,59 @@ def test_char_lm_counts_packed_key_matches_brute_force_unicode(spark):
             if i > 0:
                 want[(t[max(i - 2, 0):i], c)] += 1
     assert got == dict(want)
+
+
+def test_synth_spans_jvm_matches_python_generator(spark):
+    """The word-level span synthesis is a pure-JVM projection
+    (_synth_spans_jvm); pin it byte-identical against the original
+    Python generator (build_spans + degrade_reversible in a
+    mapInPandas) over edge shapes: empty text, one word, exactly one
+    full line, line+1, last-line-short multiples of the media period,
+    and degradable characters (w/s/r/a sprinkle interactions)."""
+    import pandas as pd
+
+    from cor_asv_ann_spark.corelib.noise import degrade_reversible
+    from cor_asv_ann_spark.schema import SPANS_SCHEMA
+    from cor_asv_ann_spark.sources.spans import _synth_spans_jvm, build_spans
+
+    texts = [
+        ("e0", ""),
+        ("e1", "one"),
+        ("e7", " ".join(f"w{i}" for i in range(7))),
+        ("e8", " ".join(f"w{i}" for i in range(8))),
+        ("e28", " ".join(f"aws{i}" for i in range(28))),
+        ("e29", " ".join(f"rsau{i}" for i in range(29))),
+        ("e56", " ".join(f"x{i}" for i in range(56))),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    def python_synth(noisy):
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for doc_id, text in zip(pdf["doc_id"].astype(str), pdf["text"]):
+                    spans = build_spans(doc_id, text, level="word")
+                    if noisy:
+                        spans = [
+                            (k,
+                             degrade_reversible(t, f"{doc_id}:{o}")
+                             if k in ("word", "glyph") else t,
+                             r, o)
+                            for (k, t, r, o) in spans
+                        ]
+                    rows.append({
+                        "doc_id": doc_id,
+                        "spans": [
+                            {"kind": k, "text": t, "media_ref": r, "offset": o}
+                            for (k, t, r, o) in spans
+                        ],
+                    })
+                yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+        return docs.mapInPandas(gen, schema=SPANS_SCHEMA)
+
+    def canon(df):
+        return {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in df.collect()}
+
+    for noisy in (False, True):
+        assert canon(python_synth(noisy)) == canon(_synth_spans_jvm(docs, noisy))
