@@ -709,7 +709,15 @@ def q_mark_oov_compound(spark, sf_dir):
     from cor_asv_ann_spark.operators.mark import mark_words
 
     parts_df = _mat_compound_parts(spark, sf_dir)
-    parts = frozenset(r.part for r in parts_df.collect())
+    # ONE corpus derivation per call: the collect below already runs
+    # the full explode→agg→top-50; feeding the broadcast lexicon from
+    # the collected rows (a 50-row local relation) instead of parts_df
+    # stops the broadcast build from re-deriving the same table from
+    # the corpus a second time (A/B ~0.3 s/pass at sf0.1). Same rows by
+    # construction — the values flow within this same query execution.
+    part_rows = [r.part for r in parts_df.collect()]
+    parts = frozenset(part_rows)
+    lex_local = spark.createDataFrame([(p,) for p in part_rows], "entry string")
     comp = CompoundLexicon(
         standalone=parts, begin=parts, middle=frozenset(), end=parts,
         cmin=3, wordmax=2,
@@ -744,7 +752,7 @@ def q_mark_oov_compound(spark, sf_dir):
         F.lit(True).alias("is_concat"),
     )
     words = singles.unionByName(concats)
-    marked = mark_words(words, parts_df.select(F.col("part").alias("entry")), compound=comp)
+    marked = mark_words(words, lex_local, compound=comp)
     return (
         marked.groupBy("is_concat")
         .agg(

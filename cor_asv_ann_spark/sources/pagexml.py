@@ -101,6 +101,8 @@ def _textequivs(el) -> list[tuple[str, float]]:
             (idx if idx is not None else pos, pos, text,
              float(conf) if conf is not None else 1.0)
         )
+    if len(tes) <= 1:  # the overwhelmingly common single-equiv element:
+        return [(text, conf) for _, _, text, conf in tes]  # nothing to sort
     tes.sort(key=lambda t: (t[0], t[1]))
     return [(text, conf) for _, _, text, conf in tes]
 
