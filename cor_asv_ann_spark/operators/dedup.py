@@ -341,11 +341,22 @@ def simhash_near_pairs(
     # first shrinks the distinct's exchange from every in-bucket pair
     # (~2.8M rows at sf0.1) to just the near-duplicates (~10k)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    filt = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
+    )
+    # cross-band dedup as a collect_set keyed on id_a (the
+    # embedding_near_dups pattern): same exchange bytes as a pair
+    # distinct, far fewer aggregation keys, map-side partial dedup;
+    # hamming is a pure function of the pair so duplicate copies carry
+    # identical values and any set member is THE value. Set size is
+    # bounded by n_chunks × the largest surviving bucket.
+    return (
+        filt.groupBy("id_a")
+        .agg(F.collect_set(F.struct("id_b", "hamming")).alias("_s"))
+        .select("id_a", F.explode("_s").alias("x"))
+        .select("id_a", F.col("x.id_b").alias("id_b"), F.col("x.hamming").alias("hamming"))
     )
 
 
