@@ -322,13 +322,32 @@ def simhash_near_pairs(
             for c in range(n_chunks)
         ]
     )
-    from .similarity import bucket_pairs
+    from .similarity import bucket_pairs, bucket_pairs_nodup
 
     banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("ci", "cv"))
-    # bucket_pairs: ONE aggregation over ONE banded table — the former
-    # self-join re-evaluated the simhash pandas UDF (and its per-token
-    # md5 tokenization) in both join branches. The simhash value rides
-    # the bucket member struct so the hamming verify needs no join back.
+    # bucket_pairs_nodup: ONE aggregation chain over ONE banded table —
+    # the former self-join re-evaluated the simhash pandas UDF (and its
+    # per-token md5 tokenization) in both join branches — AND each pair
+    # is emitted once, from its first surviving chunk, so the cross-band
+    # dedup (formerly a collect_set exchange of every near-dup pair)
+    # vanishes. The simhash value rides the bucket member struct so the
+    # hamming verify needs no join back; hamming is a pure JVM pair
+    # function applied inline in the same codegen stage.
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    if (chunk_bits + 1) * n_chunks <= 63:
+        cand = bucket_pairs_nodup(
+            banded, "ci", "cv", id_col, n_chunks, chunk_bits, max_bucket,
+            observation, payload_cols=["simhash"],
+        ).select(
+            "id_a", "id_b",
+            F.col("simhash_a").alias("sh_a"), F.col("simhash_b").alias("sh_b"),
+        )
+        return (
+            cand.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
+    # wide-chunk fallback (bits > 56): capped pairs + collect_set dedup
     cand = bucket_pairs(
         banded, ["ci", "cv"], id_col, max_bucket, observation,
         payload_cols=["simhash"],
@@ -336,22 +355,11 @@ def simhash_near_pairs(
         "id_a", "id_b",
         F.col("simhash_a").alias("sh_a"), F.col("simhash_b").alias("sh_b"),
     )
-    # hamming BEFORE the cross-band distinct: it is a pure JVM function
-    # of the pair, so filter∘distinct ≡ distinct∘filter — but filtering
-    # first shrinks the distinct's exchange from every in-bucket pair
-    # (~2.8M rows at sf0.1) to just the near-duplicates (~10k)
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     filt = (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    # cross-band dedup as a collect_set keyed on id_a (the
-    # embedding_near_dups pattern): same exchange bytes as a pair
-    # distinct, far fewer aggregation keys, map-side partial dedup;
-    # hamming is a pure function of the pair so duplicate copies carry
-    # identical values and any set member is THE value. Set size is
-    # bounded by n_chunks × the largest surviving bucket.
     return (
         filt.groupBy("id_a")
         .agg(F.collect_set(F.struct("id_b", "hamming")).alias("_s"))
@@ -386,7 +394,13 @@ def embedding_near_dups(
     ``n_bits=None`` sizes the code width from the corpus count
     (``auto_n_bits``) so the cap trims skew rather than every typical
     bucket; ``observation`` surfaces rows/buckets dropped by the cap."""
-    from .similarity import auto_n_bits, band_codes_udf, bucket_pairs, dot_np
+    from .similarity import (
+        auto_n_bits,
+        band_codes_udf,
+        bucket_pairs,
+        bucket_pairs_nodup,
+        dot_np,
+    )
 
     if n_bits is None:
         n_bits = auto_n_bits(emb.count(), max_bucket or 1000)
@@ -398,7 +412,6 @@ def embedding_near_dups(
     bb = emb.select(
         F.col(id_col), F.posexplode(codes(F.col(vec_col))).alias("band", "code")
     )
-    cand_raw = bucket_pairs(bb, ["band", "code"], id_col, max_bucket, observation)
     # exact-cosine verify. When the table fits the broadcast budget the
     # pairs are dotted against a broadcast id->vector matrix (2 longs of
     # Arrow traffic per pair instead of 2·dim doubles, and no verify
@@ -409,29 +422,32 @@ def embedding_near_dups(
 
     # both verify UDFs are marked non-deterministic (guide §4.4): the
     # cosine threshold filter otherwise gets pushed below the
-    # cross-band distinct and the optimizer re-evaluates the UDF on
-    # BOTH sides of it — measured as the whole pre-distinct candidate
-    # volume (~2.2× the unique pairs) paying the Python boundary twice
-    # cross-band dedup BEFORE the verify: unlike simhash's JVM
-    # bit_count (where filtering first is free and shrinks the
-    # exchange), the cosine verify crosses the Python boundary — and
-    # A/B-measured interleaved at sf0.1, dotting the raw ~4M band
-    # fan-out then deduping (4.10 s) loses to deduping the compact
-    # (long, long) pairs first and dotting the ~1.8M unique ones
-    # (2.25 s). The dedup itself is a collect_set keyed on id_a alone,
-    # not a distinct on the pair: the exchange carries the same ~4M
-    # rows either way, but the hash-aggregation state shrinks from one
-    # entry per UNIQUE PAIR (~1.8M keys, both sides) to one set per
-    # LEFT ID (n_rows keys), and the map-side partial collect_set
-    # already removes most cross-band duplicates before the exchange —
-    # A/B 2.01 s (distinct) vs 1.17 s (collect_set) at sf0.1. A set is
-    # bounded by n_bands·max_bucket members (the only ids id_a can
-    # ever pair with), so the per-group state is capped at scale.
-    cand = (
-        cand_raw.groupBy("id_a")
-        .agg(F.collect_set("id_b").alias("_bs"))
-        .select("id_a", F.explode("_bs").alias("id_b"))
-    )
+    # cross-band dedup and the optimizer re-evaluates the UDF on
+    # BOTH sides of it — measured as the whole pre-dedup candidate
+    # volume (~2.2× the unique pairs) paying the Python boundary twice.
+    # Cross-band dedup stays BEFORE the verify: unlike simhash's JVM
+    # bit_count (where filtering first is free), the cosine verify
+    # crosses the Python boundary — A/B-measured interleaved at sf0.1,
+    # dotting the raw ~4M band fan-out then deduping (4.10 s) loses to
+    # deduping first and dotting the ~1.8M unique pairs (2.25 s).
+    # The dedup itself is now the first-surviving-band emission filter
+    # inside bucket_pairs_nodup — each unique pair leaves the explode
+    # exactly once, so the former pair-grain exchange (collect_set of
+    # the ~4M fan-out, itself the A/B winner over a pair distinct:
+    # 1.17 s vs 2.01 s) is gone entirely; when the packed band-code
+    # mask would overflow a long (auto_n_bits at extreme corpus sizes),
+    # the collect_set formulation remains as the fallback.
+    if (n_bits + 1) * n_bands <= 63:
+        cand = bucket_pairs_nodup(
+            bb, "band", "code", id_col, n_bands, n_bits, max_bucket, observation
+        )
+    else:
+        cand_raw = bucket_pairs(bb, ["band", "code"], id_col, max_bucket, observation)
+        cand = (
+            cand_raw.groupBy("id_a")
+            .agg(F.collect_set("id_b").alias("_bs"))
+            .select("id_a", F.explode("_bs").alias("id_b"))
+        )
     pair_dot = indexed_dot_udf(emb.sparkSession, emb, id_col, vec_col)
     if pair_dot is not None:
         pair_dot = pair_dot.asNondeterministic()

@@ -113,6 +113,93 @@ def test_bucket_pairs_matches_self_join(spark, max_bucket):
         assert round(mn["buckets_dropped"]) == round(mo["buckets_dropped"] or 0.0)
 
 
+@pytest.mark.parametrize("max_bucket", [None, 4])
+def test_bucket_pairs_nodup_matches_dedup(spark, max_bucket):
+    """First-surviving-band emission == generate-then-dedup: same pair
+    set, each pair exactly once, same cap observation metrics."""
+    from cor_asv_ann_spark.operators.similarity import (
+        bucket_pairs,
+        bucket_pairs_nodup,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(doc_id=i, band=b, code=rng.randint(0, 5))
+        for i in range(40)
+        for b in range(3)
+    ]
+    banded = spark.createDataFrame(rows)
+    obs_new, obs_old = Observation(), Observation()
+    new = bucket_pairs_nodup(
+        banded, "band", "code", "doc_id", 3, 3, max_bucket, obs_new
+    ).collect()
+    old = bucket_pairs(
+        banded, ["band", "code"], "doc_id", max_bucket, obs_old
+    ).distinct().collect()
+    new_pairs = [(r.id_a, r.id_b) for r in new]
+    assert len(new_pairs) == len(set(new_pairs)), "pair emitted twice"
+    assert set(new_pairs) == {(r.id_a, r.id_b) for r in old}
+    assert len(new_pairs) > 0
+    mn, mo = obs_new.get, obs_old.get
+    assert mn["rows_total"] == mo["rows_total"]
+    assert mn["rows_dropped"] == mo["rows_dropped"]
+    assert round(mn["buckets_dropped"]) == round(mo["buckets_dropped"])
+
+
+def test_bucket_pairs_nodup_dropped_first_band_rescue(spark):
+    """A pair whose FIRST matching band is over-capped must still be
+    emitted from its first SURVIVING matching band (the masks are built
+    post-cap, so survival — not raw code equality — drives emission)."""
+    from cor_asv_ann_spark.operators.similarity import bucket_pairs_nodup
+
+    rows = [Row(doc_id=i, band=0, code=0) for i in range(10)]  # capped out
+    rows += [Row(doc_id=0, band=1, code=7), Row(doc_id=1, band=1, code=7)]
+    rows += [Row(doc_id=i, band=1, code=i - 2) for i in range(2, 8)]  # singletons
+    banded = spark.createDataFrame(rows)
+    out = bucket_pairs_nodup(banded, "band", "code", "doc_id", 2, 3, 4, None)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(0, 1)}
+
+
+def test_bucket_pairs_nodup_payloads_and_simhash_query(spark):
+    """Payload columns ride correctly, and the simhash query's
+    first-match formulation reproduces the dedup formulation's rows
+    (including hamming values) on a corpus with real near-dups."""
+    from cor_asv_ann_spark.operators.dedup import simhash, simhash_near_pairs
+    from cor_asv_ann_spark.operators.similarity import bucket_pairs
+
+    rng = random.Random(11)
+    docs = []
+    base_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(60):
+        words = [base_words[rng.randint(0, 2)] for _ in range(12)]
+        if rng.random() < 0.5:
+            words[rng.randint(0, 11)] = base_words[rng.randint(3, 5)]
+        docs.append(Row(doc_id=i, text=" ".join(words)))
+    sh = simhash(spark.createDataFrame(docs))
+    new = simhash_near_pairs(sh, max_hamming=6, max_bucket=8)
+    rows_new = new.collect()
+    # reference: capped in-bucket pairs -> hamming -> cross-band distinct
+    chunks = F.array(*[
+        F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255))
+        for c in range(4)
+    ])
+    banded = sh.select("doc_id", "simhash", F.posexplode(chunks).alias("ci", "cv"))
+    ref = (
+        bucket_pairs(banded, ["ci", "cv"], "doc_id", 8, None, payload_cols=["simhash"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )
+    new_set = {(r.id_a, r.id_b, r.hamming) for r in rows_new}
+    assert len(rows_new) == len(new_set), "pair emitted twice"
+    assert new_set == {(r.id_a, r.id_b, r.hamming) for r in ref.collect()}
+    assert len(new_set) > 0
+
+
 def test_bucket_pairs_payload_cols(spark):
     from cor_asv_ann_spark.operators.similarity import bucket_pairs
 
