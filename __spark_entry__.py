@@ -723,10 +723,21 @@ def q_mark_oov_compound(spark, sf_dir):
         cmin=3, wordmax=2,
     )
     d = _docs(spark, sf_dir)
+    # ONE codegen regexp over the whole document instead of an
+    # interpreted per-token lambda (HOF bodies are interpreted; the old
+    # transform paid ~1M regexp_replace+lower interpreter calls at
+    # sf0.1 to keep 2 tokens/doc): stripping every char that is neither
+    # letter/mark nor ASCII whitespace BEFORE the split preserves token
+    # boundaries exactly (\s chars survive the strip), so the filtered
+    # token list — and hence t1/t2 — is identical: each whitespace-
+    # delimited segment maps 1:1 to its per-token normalization, and
+    # segments that normalize to '' (dropped by the length filter
+    # either way) at worst merge adjacent delimiters, which \s+
+    # already collapses.
     toks = F.filter(
-        F.transform(
-            F.split(F.col("text"), r"\s+"),
-            lambda w: F.lower(F.regexp_replace(w, r"[^\p{L}\p{M}]", "")),
+        F.split(
+            F.lower(F.regexp_replace(F.col("text"), r"[^\p{L}\p{M}\s]", "")),
+            r"\s+",
         ),
         lambda t: F.length(t) >= 3,
     )
@@ -737,21 +748,36 @@ def q_mark_oov_compound(spark, sf_dir):
         F.element_at(F.col("_toks"), 1).alias("t1"),
         F.element_at(F.col("_toks"), 2).alias("t2"),
     )
-    singles = c.filter(F.col("t1").isNotNull()).select(
-        "doc_id",
-        F.lit(0).alias("line_no"),
-        F.lit(0).alias("word_idx"),
-        F.col("t1").alias("word"),
-        F.lit(False).alias("is_concat"),
+    # single scan: the former singles/concats UNION evaluated the whole
+    # candidate subtree (regexp + split over every document) once per
+    # branch; one explode of a 2-element struct array emits the same
+    # rows from one pass (concat(t1, t2) is NULL when t2 is — the
+    # filter drops exactly the rows the concats branch's t2-notnull
+    # predicate did)
+    pair = F.array(
+        F.struct(
+            F.lit(0).alias("word_idx"),
+            F.col("t1").alias("word"),
+            F.lit(False).alias("is_concat"),
+        ),
+        F.struct(
+            F.lit(1).alias("word_idx"),
+            F.concat("t1", "t2").alias("word"),
+            F.lit(True).alias("is_concat"),
+        ),
     )
-    concats = c.filter(F.col("t1").isNotNull() & F.col("t2").isNotNull()).select(
-        "doc_id",
-        F.lit(0).alias("line_no"),
-        F.lit(1).alias("word_idx"),
-        F.concat("t1", "t2").alias("word"),
-        F.lit(True).alias("is_concat"),
+    words = (
+        c.filter(F.col("t1").isNotNull())
+        .select("doc_id", F.explode(pair).alias("_w"))
+        .filter(F.col("_w.word").isNotNull())
+        .select(
+            "doc_id",
+            F.lit(0).alias("line_no"),
+            F.col("_w.word_idx").alias("word_idx"),
+            F.col("_w.word").alias("word"),
+            F.col("_w.is_concat").alias("is_concat"),
+        )
     )
-    words = singles.unionByName(concats)
     marked = mark_words(words, lex_local, compound=comp)
     return (
         marked.groupBy("is_concat")

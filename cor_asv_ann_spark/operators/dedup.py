@@ -93,24 +93,28 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct character n-grams over normalized text (JVM-side via
-    transform/sequence).
+    """Distinct character n-grams over normalized text.
 
-    COMPLEXITY: slices a once-split char-array column (O(n-gram) per
-    position ⇒ linear per doc) — the substring(_nt_, i, k) formulation
-    is a codepoint scan from the string start on every call, i.e.
-    quadratic per document (same fix as lm.char_ngram_counts)."""
-    # NB: guard short strings — Spark's sequence(1, 0) counts *down*
-    shingles = F.expr(
-        f"CASE WHEN size(_cs_) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(_cs_) - {n - 1}),"
-        f" i -> array_join(slice(_cs_, i, {n}), ''))) ELSE array() END"
-    )
-    return (
-        df.withColumn("_cs_", F.split(normalized_text(F.col(text_col)), ""))
-        .withColumn("shingles", shingles)
-        .drop("_cs_")
-    )
+    Normalization stays JVM (one codegen regexp + lower); the n-gram
+    window itself is a vectorized pandas UDF — Python string slicing
+    is a C-level memcpy per position, where the former JVM formulation
+    (transform(sequence) → slice → array_join over a pre-split char
+    array) paid ~n_chars interpreted-lambda evaluations per document
+    (HOF bodies are interpreted, guide §4.2) — measured 3-4× slower at
+    sf0.1. ``dict.fromkeys`` preserves first-occurrence order, exactly
+    like ``array_distinct``; both count astral chars as one position
+    (Python len and Java regex split are codepoint-aware), pinned by
+    test_optimization_equivalence."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tri(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: []
+            if x is None or len(x) < n
+            else list(dict.fromkeys(x[i : i + n] for i in range(len(x) - n + 1)))
+        )
+
+    return df.withColumn("shingles", tri(normalized_text(F.col(text_col))))
 
 
 def minhash_signature(df: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:

@@ -113,6 +113,34 @@ def test_bucket_pairs_matches_self_join(spark, max_bucket):
         assert round(mn["buckets_dropped"]) == round(mo["buckets_dropped"] or 0.0)
 
 
+def test_with_shingles_python_matches_jvm_hof(spark):
+    """The pandas-UDF shingle window reproduces the former JVM
+    transform/slice/array_join formulation exactly — values AND
+    first-occurrence order (array_distinct vs dict.fromkeys) — over a
+    unicode stress set (combining marks, CJK, astral, short/empty)."""
+    from cor_asv_ann_spark.operators.dedup import normalized_text, with_shingles
+
+    cases = [
+        "", "a", "ab", "abc", "abcd", "the the the", "Straße über",
+        "ábćde", "漢字漢字テスト", "x𝄞y𝄞z𝄞w", "AAAbbbAAA",
+        "  spaced   out  ", None, "mix 漢 a𝄞b ſtr",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    old = F.expr(
+        "CASE WHEN size(_cs_) >= 3 THEN "
+        "array_distinct(transform(sequence(1, size(_cs_) - 2),"
+        " i -> array_join(slice(_cs_, i, 3), ''))) ELSE array() END"
+    )
+    rows = (
+        with_shingles(df, "text", 3)
+        .withColumn("_cs_", F.split(normalized_text(F.col("text")), ""))
+        .withColumn("old", old)
+        .collect()
+    )
+    for r in rows:
+        assert r.shingles == r.old, f"{r.text!r}: {r.shingles} != {r.old}"
+
+
 @pytest.mark.parametrize("max_bucket", [None, 4])
 def test_bucket_pairs_nodup_matches_dedup(spark, max_bucket):
     """First-surviving-band emission == generate-then-dedup: same pair
