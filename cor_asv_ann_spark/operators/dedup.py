@@ -441,7 +441,34 @@ def embedding_near_dups(
     # 1.17 s vs 2.01 s) is gone entirely; when the packed band-code
     # mask would overflow a long (auto_n_bits at extreme corpus sizes),
     # the collect_set formulation remains as the fallback.
-    if (n_bits + 1) * n_bands <= 63:
+    from .similarity import (
+        build_dot_index,
+        bucket_verify_dots,
+        masked_buckets,
+    )
+
+    nodup_ok = (n_bits + 1) * n_bands <= 63
+    index_b = build_dot_index(emb.sparkSession, emb, id_col, vec_col)
+    if nodup_ok and index_b is not None:
+        # fused path: pair generation AND the indexed einsum verify run
+        # per bucket inside one mapInArrow — no pair-grain rows exist
+        # anywhere in the plan (neither a JVM Generate of the ~4M
+        # candidates nor their Arrow round-trip); only near-threshold
+        # pairs with raw dots come back, and the exact rounded filter
+        # stays JVM-side so the values equal the indexed_dot_udf path
+        # bit for bit (same gather + einsum, round-half-up in the JVM).
+        masked = masked_buckets(
+            bb, "band", "code", id_col, n_bands, n_bits, max_bucket, observation
+        )
+        dots = bucket_verify_dots(
+            masked, "band", id_col, n_bands, n_bits, index_b, threshold
+        )
+        return (
+            dots.withColumn("cosine", F.round(F.col("dot"), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+    if nodup_ok:
         cand = bucket_pairs_nodup(
             bb, "band", "code", id_col, n_bands, n_bits, max_bucket, observation
         )

@@ -228,6 +228,64 @@ def test_bucket_pairs_nodup_payloads_and_simhash_query(spark):
     assert len(new_set) > 0
 
 
+@pytest.mark.parametrize("max_bucket", [None, 25])
+def test_bucket_verify_dots_matches_pair_path(spark, max_bucket):
+    """The fused per-bucket verify (masked_buckets + bucket_verify_dots
+    + JVM round/filter) returns exactly the rows of the pair-explode +
+    indexed-dot path, caps included."""
+    import numpy as np
+
+    from cor_asv_ann_spark.operators.dedup import embedding_near_dups
+    from cor_asv_ann_spark.operators.similarity import (
+        band_codes_udf,
+        bucket_pairs_nodup,
+        build_dot_index,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((80, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    # fused path (build_dot_index always fits here)
+    fused = embedding_near_dups(
+        emb, threshold=0.1, n_bands=4, n_bits=2, max_bucket=max_bucket,
+        portable=True,
+    ).collect()
+    # reference: explicit pair stream + indexed dot + JVM round/filter
+    codes = band_codes_udf(4, 2, 42, True)
+    bb = emb.select(
+        F.col("vec_id"), F.posexplode(codes(F.col("embedding"))).alias("band", "code")
+    )
+    cand = bucket_pairs_nodup(bb, "band", "code", "vec_id", 4, 2, max_bucket)
+    idx = build_dot_index(spark, emb, "vec_id", "embedding")
+    ids_, mat_ = idx.value
+    ref = []
+    for r in cand.collect():
+        ia, ib = np.searchsorted(ids_, r.id_a), np.searchsorted(ids_, r.id_b)
+        d = float(np.einsum("ij,ij->i", mat_[ia : ia + 1], mat_[ib : ib + 1])[0])
+        ref.append((r.id_a, r.id_b, d))
+    ref_rows = {
+        (a, b, _round_half_up6(d)) for a, b, d in ref if _round_half_up6(d) >= 0.1
+    }
+    got = {(r.id_a, r.id_b, r.cosine) for r in fused}
+    assert len(fused) == len(got)
+    assert got == ref_rows and len(got) > 0
+
+
+def _round_half_up6(x: float) -> float:
+    """Spark's F.round (HALF_UP on the decimal representation)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def test_bucket_pairs_payload_cols(spark):
     from cor_asv_ann_spark.operators.similarity import bucket_pairs
 
