@@ -226,7 +226,10 @@ def test_pagexml_ingest_single_wide_exchange(spark, tmp_path):
     plan = formatted_plan(lines)
     # formatted plans print each node twice (tree summary + detail):
     # count numbered nodes only
-    assert len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M)) == 1
+    # exactly ONE Python parse stage (the spans-only reader emits Arrow
+    # batches directly — MapInArrow — since r6; channel readers keep
+    # MapInPandas)
+    assert len(re.findall(r"^\(\d+\) MapIn(Pandas|Arrow)", plan, re.M)) == 1
     assert "Coalesce" in plan
     n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_ex == 1, plan[:2000]
