@@ -93,28 +93,36 @@ def drop_exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct character n-grams over normalized text.
+    """Distinct character n-grams over normalized text (JVM-side via
+    transform/sequence).
 
-    Normalization stays JVM (one codegen regexp + lower); the n-gram
-    window itself is a vectorized pandas UDF — Python string slicing
-    is a C-level memcpy per position, where the former JVM formulation
-    (transform(sequence) → slice → array_join over a pre-split char
-    array) paid ~n_chars interpreted-lambda evaluations per document
-    (HOF bodies are interpreted, guide §4.2) — measured 3-4× slower at
-    sf0.1. ``dict.fromkeys`` preserves first-occurrence order, exactly
-    like ``array_distinct``; both count astral chars as one position
-    (Python len and Java regex split are codepoint-aware), pinned by
-    test_optimization_equivalence."""
+    COMPLEXITY: slices a once-split char-array column (O(n-gram) per
+    position ⇒ linear per doc) — the substring(_nt_, i, k) formulation
+    is a codepoint scan from the string start on every call, i.e.
+    quadratic per document (same fix as lm.char_ngram_counts).
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def tri(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda x: []
-            if x is None or len(x) < n
-            else list(dict.fromkeys(x[i : i + n] for i in range(len(x) - n + 1)))
-        )
-
-    return df.withColumn("shingles", tri(normalized_text(F.col(text_col))))
+    A vectorized pandas-UDF variant (Python slicing + dict.fromkeys,
+    value-identical — still pinned in test_optimization_equivalence)
+    was A/B-measured r6 and REVERTED: in fresh sessions — the frozen
+    bench's shape — minhash_lsh_pairs ran 1.2-1.3 s (JVM) vs
+    1.97-2.0 s (pandas) best-of-5, consistent across 5 session pairs;
+    the Python stage's worker spin-up + Arrow round-trip of the
+    ~1000-element shingle arrays outweighs the interpreted-lambda cost
+    at this volume. (Alternating both variants inside ONE session had
+    shown the opposite — shared-JIT warmup contaminates in-session
+    A/Bs across plan shapes; measure variant performance in separate
+    sessions.)"""
+    # NB: guard short strings — Spark's sequence(1, 0) counts *down*
+    shingles = F.expr(
+        f"CASE WHEN size(_cs_) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_cs_) - {n - 1}),"
+        f" i -> array_join(slice(_cs_, i, {n}), ''))) ELSE array() END"
+    )
+    return (
+        df.withColumn("_cs_", F.split(normalized_text(F.col(text_col)), ""))
+        .withColumn("shingles", shingles)
+        .drop("_cs_")
+    )
 
 
 def minhash_signature(df: DataFrame, id_col: str, n_hashes: int = 8) -> DataFrame:
@@ -235,6 +243,12 @@ def minhash_dedup(
     # they would otherwise run on one core end to end (measured 31 s vs
     # ~3 s at sf0.1); the exchange moves only the raw text, before any
     # array blow-up, and is a no-op on well-split tables
+    # NB: persist the frame as-is — projecting down to (id, shingles)
+    # before the persist was A/B-measured r6 and is consistently ~0.5 s
+    # SLOWER in fresh sessions (3 session pairs, best-of-4 each: 1.87/
+    # 2.36/1.93 narrow vs 1.36/1.64/1.41 wide); the in-memory relation
+    # prunes columns on read anyway, so the projection buys nothing and
+    # perturbs the cached-plan shape
     sh = with_shingles(spread_input(df), text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
